@@ -1,0 +1,89 @@
+"""Sphere-vs-heightfield contact model with semi-implicit penalty forces.
+
+TPU-native replacement for PhysX's TGS contact solve (reference sim params:
+legged_robot_config.py:256-267).  Design notes:
+
+* Every collision geom is a sphere (see urdf.py); contact candidates are
+  *all* geoms every step — no broadphase, no dynamic shapes.  This removes
+  the PhysX broadphase pathology the reference works around with
+  ``rollout_envs_sync_pos_drift`` (robot_batch_rollout.py:1493-1497).
+* Normal force: Kelvin–Voigt spring-damper, ``fn = kp·φ − kd·vn`` clipped ≥ 0.
+* Friction: regularized Coulomb with an adaptive tangential damping
+  coefficient ``kt_eff = min(kt, μ·fn/|vt|)`` so the friction cone is
+  respected while stiction stays stiff.
+* The damping part (normal kd + tangential kt_eff) is returned separately as
+  a per-contact damping matrix D; the engine folds ``dt·JᵀDJ`` into the mass
+  matrix (implicit damping), which keeps large kt stable at dt = 5 ms —
+  the key to low foot drift without a velocity-level LCP solve.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..terrain.heightfield import TerrainData, sample_ceiling, sample_height, sample_normal
+
+
+@struct.dataclass
+class ContactParams:
+    kp: jnp.ndarray          # normal stiffness [N/m]
+    kd: jnp.ndarray          # normal damping [N·s/m]
+    kt: jnp.ndarray          # max tangential (stiction) damping [N·s/m]
+    mu: jnp.ndarray          # friction coefficient (terrain × env randomization)
+
+
+def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0) -> ContactParams:
+    return ContactParams(
+        kp=jnp.asarray(kp, jnp.float32),
+        kd=jnp.asarray(kd, jnp.float32),
+        kt=jnp.asarray(kt, jnp.float32),
+        mu=jnp.asarray(mu, jnp.float32),
+    )
+
+
+class ContactResult(NamedTuple):
+    f_el: jnp.ndarray        # [ng, 3] elastic (explicit) contact force, world
+    D: jnp.ndarray           # [ng, 3, 3] per-contact damping matrix, world
+    depth: jnp.ndarray       # [ng] penetration depth (≥ 0 when touching)
+
+
+def sphere_terrain_contact(
+    terrain: TerrainData,
+    params: ContactParams,
+    pos: jnp.ndarray,        # [ng, 3] sphere centers, world
+    vel: jnp.ndarray,        # [ng, 3] sphere center velocities, world
+    radius: jnp.ndarray,     # [ng]
+) -> ContactResult:
+    xy = pos[..., :2]
+    h = sample_height(terrain, xy)
+    n = sample_normal(terrain, xy)
+
+    # ground contact: vertical gap of the sphere's lowest point
+    depth_g = (h + radius) - pos[..., 2]
+    # ceiling contact (confined terrains): gap of the sphere's highest point
+    c = sample_ceiling(terrain, xy)
+    depth_c = pos[..., 2] + radius - c
+    use_ceiling = depth_c > depth_g
+    depth = jnp.maximum(depth_g, depth_c)
+    n = jnp.where(use_ceiling[..., None], jnp.array([0.0, 0.0, -1.0]), n)
+
+    active = (depth > 0.0).astype(pos.dtype)
+    depth_a = jnp.maximum(depth, 0.0)
+
+    vn = jnp.sum(vel * n, axis=-1)
+    vt = vel - vn[..., None] * n
+    vt_norm = jnp.linalg.norm(vt, axis=-1)
+
+    fn_el = params.kp * depth_a
+    # explicit normal force estimate for the friction cone bound
+    fn_est = jnp.maximum(fn_el - params.kd * vn, 0.0) * active
+
+    kt_eff = jnp.minimum(params.kt, params.mu * fn_est / jnp.clip(vt_norm, 1e-3))
+    f_el = fn_el[..., None] * n * active[..., None]
+
+    nnT = n[..., :, None] * n[..., None, :]
+    eye = jnp.eye(3, dtype=pos.dtype)
+    D = (params.kd * nnT + kt_eff[..., None, None] * (eye - nnT)) * active[..., None, None]
+    return ContactResult(f_el=f_el, D=D, depth=depth)

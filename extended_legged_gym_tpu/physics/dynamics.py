@@ -1,0 +1,250 @@
+"""Batched articulated rigid-body dynamics in generalized coordinates.
+
+TPU-native replacement for Isaac Gym/PhysX's ``gym.simulate`` (reference call
+site: legged_gym/legged_gym/envs/base/legged_robot.py:98-103).  Single-env
+functions over a :class:`RobotModel`; ``vmap`` over environments at the engine
+level turns every op into a large batched elementwise/matmul op — the layout
+XLA tiles well.
+
+Formulation: world-frame Lagrangian dynamics assembled from body Jacobians
+(the same global-frame strategy MuJoCo uses, rather than Featherstone's
+body-local recursions) because the Jacobian assembly is *fully vectorized over
+bodies* via a static ancestor mask — no sequential O(depth) dependency except
+the tiny FK/bias recursions.
+
+  M(q) u̇ + C(q, u) = τ + Σ J_pᵀ f_ext
+  M = Σ_i mᵢ J_vᵢᵀ J_vᵢ + J_ωᵢᵀ R Iᵢ Rᵀ J_ωᵢ           (+ armature)
+  C = Σ_i J_vᵢᵀ mᵢ (a_biasᵢ − g) + J_ωᵢᵀ (I α_biasᵢ + ωᵢ × I ωᵢ)
+
+Generalized velocity layout: ``u = [v_base_world(3), ω_base_world(3), θ̇(nj)]``
+matching the reference's ``root_states[:, 7:13]`` world-frame convention.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math import quat_from_axis_angle, quat_mul, quat_to_matrix, skew
+from .model import RobotModel
+
+
+class Kinematics(NamedTuple):
+    body_rot: jnp.ndarray     # [nb, 3, 3] world rotation of each body frame
+    body_pos: jnp.ndarray     # [nb, 3] world position of each body origin
+    com_w: jnp.ndarray        # [nb, 3] world com of each body
+    axis_w: jnp.ndarray       # [nj, 3] world joint axes
+    anchor_w: jnp.ndarray     # [nj, 3] world joint anchor points
+    omega: jnp.ndarray        # [nb, 3] world angular velocity of each body
+    v_origin: jnp.ndarray     # [nb, 3] world linear velocity of body origin
+    alpha_bias: jnp.ndarray   # [nb, 3] angular acceleration with u̇ = 0
+    a_com_bias: jnp.ndarray   # [nb, 3] com linear acceleration with u̇ = 0
+
+
+def _joint_rot(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix about `axis` by `angle` (Rodrigues)."""
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    K = skew(axis)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+def forward_kinematics(
+    model: RobotModel,
+    base_pos: jnp.ndarray,
+    base_quat: jnp.ndarray,
+    joint_pos: jnp.ndarray,
+    base_lin_vel: jnp.ndarray,
+    base_ang_vel: jnp.ndarray,
+    joint_vel: jnp.ndarray,
+) -> Kinematics:
+    """Positions, velocities, and velocity-product (bias) accelerations for all
+    bodies.  Python loop over nb (static, ~13) unrolls at trace time; the tree
+    depth recursion is unavoidable but tiny."""
+    nb, nj = model.nb, model.nj
+    prismatic = jnp.asarray([1.0 if t == "prismatic" else 0.0 for t in model.joint_types]) if nj else jnp.zeros((0,))
+
+    R = [None] * nb
+    p = [None] * nb
+    w = [None] * nb
+    v = [None] * nb          # linear velocity of body origin
+    al = [None] * nb         # bias angular acceleration
+    ac = [None] * nb         # bias linear acceleration of body origin
+
+    R[0] = quat_to_matrix(base_quat)
+    p[0] = base_pos
+    w[0] = base_ang_vel
+    v[0] = base_lin_vel
+    al[0] = jnp.zeros(3)
+    ac[0] = jnp.zeros(3)
+
+    axis_w = [None] * nb
+    anchor_w = [None] * nb
+
+    for i in range(1, nb):
+        par = model.parent[i]
+        Rp, pp = R[par], p[par]
+        wp, vp = w[par], v[par]
+        alp, acp = al[par], ac[par]
+
+        R_joint = Rp @ model.joint_origin_rot[i]
+        anchor = pp + Rp @ model.joint_origin_pos[i]
+        a_w = R_joint @ model.joint_axis[i]
+        axis_w[i] = a_w
+        anchor_w[i] = anchor
+
+        th = joint_pos[i - 1]
+        thd = joint_vel[i - 1]
+        pris = prismatic[i - 1] if nj else 0.0
+
+        r = anchor - pp
+        # velocity/acceleration of the anchor point (material point of parent)
+        v_anchor = vp + jnp.cross(wp, r)
+        a_anchor = acp + jnp.cross(alp, r) + jnp.cross(wp, jnp.cross(wp, r))
+
+        # revolute branch
+        Rrev = R_joint @ _joint_rot(model.joint_axis[i], th) @ jnp.eye(3)
+        w_rev = wp + thd * a_w
+        al_rev = alp + jnp.cross(wp, thd * a_w)
+        p_rev = anchor
+        v_rev = v_anchor
+        a_rev = a_anchor
+
+        # prismatic branch
+        p_pris = anchor + th * a_w
+        rp_ = p_pris - pp
+        v_pris = vp + jnp.cross(wp, rp_) + thd * a_w
+        a_pris = acp + jnp.cross(alp, rp_) + jnp.cross(wp, jnp.cross(wp, rp_)) + 2.0 * jnp.cross(wp, thd * a_w)
+
+        if model.nj and model.has_prismatic:
+            R[i] = Rrev * (1.0 - pris) + R_joint * pris
+            p[i] = p_rev * (1.0 - pris) + p_pris * pris
+            w[i] = w_rev * (1.0 - pris) + wp * pris
+            v[i] = v_rev * (1.0 - pris) + v_pris * pris
+            al[i] = al_rev * (1.0 - pris) + alp * pris
+            ac[i] = a_rev * (1.0 - pris) + a_pris * pris
+        else:
+            R[i], p[i], w[i], v[i], al[i], ac[i] = Rrev, p_rev, w_rev, v_rev, al_rev, a_rev
+
+    body_rot = jnp.stack(R)
+    body_pos = jnp.stack(p)
+    omega = jnp.stack(w)
+    v_origin = jnp.stack(v)
+    alpha_bias = jnp.stack(al)
+    a_origin_bias = jnp.stack(ac)
+
+    com_w = body_pos + jnp.einsum("bij,bj->bi", body_rot, model.com)
+    c = com_w - body_pos
+    a_com_bias = (
+        a_origin_bias
+        + jnp.cross(alpha_bias, c)
+        + jnp.cross(omega, jnp.cross(omega, c))
+    )
+    if nb > 1:
+        axis_w = jnp.stack(axis_w[1:])
+        anchor_w = jnp.stack(anchor_w[1:])
+    else:
+        axis_w = jnp.zeros((0, 3))
+        anchor_w = jnp.zeros((0, 3))
+    return Kinematics(body_rot, body_pos, com_w, axis_w, anchor_w, omega, v_origin, alpha_bias, a_com_bias)
+
+
+def point_jacobian(model: RobotModel, kin: Kinematics, body_idx: jnp.ndarray, points_w: jnp.ndarray) -> jnp.ndarray:
+    """Point Jacobians J so that v_point = J @ u, for P points attached to
+    bodies ``body_idx``; returns [P, 3, nv].  Fully vectorized (no tree walk):
+    the static ancestor mask selects which joint columns act on each point."""
+    nv = model.nv
+    P = points_w.shape[0]
+    anc = model.ancestor_mask[body_idx]                     # [P, nj]
+    r_base = points_w - kin.body_pos[0]                     # [P, 3]
+    Jv = jnp.zeros((P, 3, nv))
+    eye = jnp.broadcast_to(jnp.eye(3), (P, 3, 3))
+    Jv = Jv.at[:, :, 0:3].set(eye)
+    Jv = Jv.at[:, :, 3:6].set(-skew(r_base))
+    if model.nj:
+        rel = points_w[:, None, :] - kin.anchor_w[None, :, :]       # [P, nj, 3]
+        cols = jnp.cross(kin.axis_w[None, :, :], rel)               # [P, nj, 3]
+        if model.has_prismatic:
+            pris = jnp.asarray([1.0 if t == "prismatic" else 0.0 for t in model.joint_types])
+            cols = cols * (1.0 - pris)[None, :, None] + kin.axis_w[None] * pris[None, :, None]
+        Jv = Jv.at[:, :, 6:].set(jnp.swapaxes(cols * anc[:, :, None], 1, 2))
+    return Jv
+
+
+def body_jacobians(model: RobotModel, kin: Kinematics) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """COM linear and angular Jacobians for every body: ([nb,3,nv], [nb,3,nv])."""
+    nb, nv = model.nb, model.nv
+    Jv = point_jacobian(model, kin, jnp.arange(nb), kin.com_w)
+    Jw = jnp.zeros((nb, 3, nv))
+    Jw = Jw.at[:, :, 3:6].set(jnp.broadcast_to(jnp.eye(3), (nb, 3, 3)))
+    if model.nj:
+        cols = jnp.broadcast_to(kin.axis_w[None, :, :], (nb, model.nj, 3))
+        if model.has_prismatic:
+            pris = jnp.asarray([1.0 if t == "prismatic" else 0.0 for t in model.joint_types])
+            cols = cols * (1.0 - pris)[None, :, None]
+        Jw = Jw.at[:, :, 6:].set(jnp.swapaxes(cols * model.ancestor_mask[:, :, None], 1, 2))
+    return Jv, Jw
+
+
+def mass_matrix(model: RobotModel, kin: Kinematics, Jv: jnp.ndarray, Jw: jnp.ndarray,
+                mass: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Joint-space inertia matrix via Jacobian assembly (CRBA-equivalent)."""
+    m = model.mass if mass is None else mass
+    Iw = jnp.einsum("bij,bjk,blk->bil", kin.body_rot, model.inertia, kin.body_rot)
+    M = jnp.einsum("b,biv,biw->vw", m, Jv, Jv) + jnp.einsum("biv,bij,bjw->vw", Jw, Iw, Jw)
+    if model.nj:
+        idx = jnp.arange(6, model.nv)
+        M = M.at[idx, idx].add(model.armature)
+    return M
+
+
+def bias_forces(model: RobotModel, kin: Kinematics, Jv: jnp.ndarray, Jw: jnp.ndarray,
+                gravity: jnp.ndarray, mass: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Generalized bias forces C(q, u) (Coriolis + centrifugal + gravity)."""
+    m = model.mass if mass is None else mass
+    Iw = jnp.einsum("bij,bjk,blk->bil", kin.body_rot, model.inertia, kin.body_rot)
+    f_lin = m[:, None] * (kin.a_com_bias - gravity[None, :])               # [nb, 3]
+    Iw_w = jnp.einsum("bij,bj->bi", Iw, kin.omega)
+    f_ang = jnp.einsum("bij,bj->bi", Iw, kin.alpha_bias) + jnp.cross(kin.omega, Iw_w)
+    return jnp.einsum("biv,bi->v", Jv, f_lin) + jnp.einsum("biv,bi->v", Jw, f_ang)
+
+
+def forward_dynamics(
+    model: RobotModel,
+    M: jnp.ndarray,
+    C: jnp.ndarray,
+    tau_joint: jnp.ndarray,
+    tau_ext: jnp.ndarray,
+) -> jnp.ndarray:
+    """u̇ = M⁻¹ (Sτ − C + τ_ext); Cholesky solve on the small static-size
+    system (nv ≈ 18 for quadrupeds — XLA lowers the batched factorization)."""
+    rhs = tau_ext - C
+    if model.nj:
+        rhs = rhs.at[6:].add(tau_joint)
+    if model.fix_base:
+        # base locked: solve the joint-joint block only
+        Mjj = M[6:, 6:]
+        L = jnp.linalg.cholesky(Mjj)
+        ud_j = jax.scipy.linalg.cho_solve((L, True), rhs[6:])
+        return jnp.concatenate([jnp.zeros(6), ud_j])
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
+def integrate(
+    base_pos, base_quat, joint_pos, base_lin_vel, base_ang_vel, joint_vel, udot, dt
+):
+    """Semi-implicit Euler: velocities first, then positions with the new
+    velocities (matches PhysX's symplectic integrator order)."""
+    v = base_lin_vel + dt * udot[0:3]
+    w = base_ang_vel + dt * udot[3:6]
+    thd = joint_vel + dt * udot[6:]
+    pos = base_pos + dt * v
+    angle = jnp.linalg.norm(w) * dt
+    axis = w / jnp.clip(jnp.linalg.norm(w), 1e-9)
+    dq = quat_from_axis_angle(axis, angle)
+    quat = quat_mul(dq, base_quat)
+    quat = quat / jnp.linalg.norm(quat).clip(1e-9)
+    th = joint_pos + dt * thd
+    return pos, quat, th, v, w, thd
