@@ -1,0 +1,291 @@
+"""Main-rollout batched environments + sampling-MPC environment.
+
+TPU-native re-design of the reference's batch-rollout architecture
+(reference: legged_gym/legged_gym/envs/batch_rollout/robot_batch_rollout.py
+and robot_traj_grad_sampling.py).
+
+The reference simulates ``num_main × (1 + rollout_envs)`` robots in ONE
+mutable PhysX sim, freezing main envs during rollout stepping with a state
+cache/restore dance (robot_batch_rollout.py:1537-1640) and re-syncing rollout
+envs by scatter-copying state tensors (:1447-1535) — plus a position-drift
+hack to dodge a PhysX broadphase pathology (:1493-1497).
+
+Here state is an immutable pytree, so the whole architecture collapses to:
+
+    rollout_batch = vmap over samples ∘ lax.scan over horizon ∘ physics step
+
+The "sync" is a broadcast of the main state over the sample axis; the "freeze"
+is free (the main state is never mutated); the broadphase hack is unnecessary
+(no broadphase).  The sample axis is also the natural multi-chip sharding
+axis (see parallel/).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..physics.engine import PhysState, physics_step
+from ..trajopt.sampling import TrajGradSampling, TrajOptConfig
+from ..utils.config import configclass
+from .legged_robot import EnvState, LeggedRobot
+from .legged_robot_config import LeggedRobotCfg, LeggedRobotCfgPPO
+
+
+# ---------------------------------------------------------------------------
+# configs (reference robot_batch_rollout_config.py / robot_traj_grad_sampling_config.py)
+# ---------------------------------------------------------------------------
+
+@configclass
+class TrajectoryOptCfg:
+    enable_traj_opt: bool = True
+    num_diffuse_steps: int = 2
+    num_diffuse_steps_init: int = 10
+    num_samples: int = 127
+    temp_sample: float = 0.1
+    horizon_samples: int = 16
+    horizon_nodes: int = 4
+    horizon_diffuse_factor: float = 0.9
+    traj_diffuse_factor: float = 0.5
+    noise_scaling: float = 1.5
+    update_method: str = "avwbfo"
+    gamma: float = 1.0
+    interp_method: str = "spline"
+    compute_predictions: bool = True
+
+
+@configclass
+class RLWarmstartCfg:
+    enable: bool = False
+    policy_checkpoint: str = ""
+    actor_network: str = "mlp"
+    actor_hidden_dims: list = [128, 64, 32]
+    critic_hidden_dims: list = [128, 64, 32]
+    activation: str = "elu"
+    use_for_append: bool = True
+    standardize_obs: bool = True
+    obs_type: str = "non_privileged"
+
+
+@configclass
+class RobotBatchRolloutCfg(LeggedRobotCfg):
+    pass
+
+
+@configclass
+class RobotTrajGradSamplingCfg(RobotBatchRolloutCfg):
+    trajectory_opt: TrajectoryOptCfg = TrajectoryOptCfg()
+    rl_warmstart: RLWarmstartCfg = RLWarmstartCfg()
+
+
+# ---------------------------------------------------------------------------
+# rollout state: the light-weight per-sample view of env state
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class RolloutState:
+    """What a rollout env carries while playing a candidate control sequence
+    (the reference keeps all of this in the shared sim tensors and restores
+    mains afterwards).  Field names match EnvState so the LeggedRobot reward
+    methods work on both."""
+
+    phys: PhysState
+    commands: jnp.ndarray
+    actions: jnp.ndarray
+    last_actions: jnp.ndarray
+    last_dof_vel: jnp.ndarray
+    torques: jnp.ndarray
+    feet_air_time: jnp.ndarray
+    feet_contact_time: jnp.ndarray
+    last_contacts: jnp.ndarray
+    base_lin_vel: jnp.ndarray
+    base_ang_vel: jnp.ndarray
+    projected_gravity: jnp.ndarray
+    foot_positions: jnp.ndarray
+    foot_velocities: jnp.ndarray
+    geom_forces: jnp.ndarray
+    measured_heights: jnp.ndarray
+    reset_buf: jnp.ndarray
+    time_out_buf: jnp.ndarray
+    t: jnp.ndarray              # rollout time [s] (the reference's t_rollout)
+
+
+class RobotBatchRollout(LeggedRobot):
+    """LeggedRobot + the rollout-batch capability.
+
+    ``num_envs`` counts MAIN envs only (the reference's ``num_main_envs``);
+    rollout populations are materialized on demand by broadcasting, so
+    ``cfg.env.rollout_envs`` only sizes the default sample count."""
+
+    def main_to_rollout(self, state: EnvState) -> RolloutState:
+        """The reference's _sync_main_to_rollout (robot_batch_rollout.py:1447)
+        as a pure projection of main state."""
+        return RolloutState(
+            phys=state.phys,
+            commands=state.commands,
+            actions=state.actions,
+            last_actions=state.last_actions,
+            last_dof_vel=state.last_dof_vel,
+            torques=state.torques,
+            feet_air_time=state.feet_air_time,
+            feet_contact_time=state.feet_contact_time,
+            last_contacts=state.last_contacts,
+            base_lin_vel=state.base_lin_vel,
+            base_ang_vel=state.base_ang_vel,
+            projected_gravity=state.projected_gravity,
+            foot_positions=state.foot_positions,
+            foot_velocities=state.foot_velocities,
+            geom_forces=state.geom_forces,
+            measured_heights=state.measured_heights,
+            reset_buf=jnp.zeros_like(state.reset_buf),
+            time_out_buf=jnp.zeros_like(state.time_out_buf),
+            t=(state.episode_length.astype(jnp.float32)) * self.dt,
+        )
+
+    def rollout_step(self, rs: RolloutState, actions: jnp.ndarray,
+                     env_params) -> Tuple[RolloutState, jnp.ndarray]:
+        """One control step of a rollout env: decimated PD physics + reward.
+        No resets, pushes, or command resampling (reference step_rollout,
+        robot_batch_rollout.py:602-716 + post_physics_step_rollout :763-817)."""
+        clip_a = self.cfg.normalization.clip_actions
+        actions = jnp.clip(actions, -clip_a, clip_a)
+        phys, torques, report = self._physics_substeps(
+            rs.phys, actions, env_params, rs.last_dof_vel)
+
+        from ..utils.math import quat_rotate_inverse
+
+        B = phys.base_pos.shape[0]
+        base_lin_vel = quat_rotate_inverse(phys.base_quat, phys.base_lin_vel)
+        base_ang_vel = quat_rotate_inverse(phys.base_quat, phys.base_ang_vel)
+        grav = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (B, 3))
+        projected_gravity = quat_rotate_inverse(phys.base_quat, grav)
+
+        rs = rs.replace(
+            phys=phys, actions=actions, torques=torques,
+            base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,
+            projected_gravity=projected_gravity,
+            foot_positions=report.foot_pos, foot_velocities=report.foot_vel,
+            geom_forces=report.geom_forces,
+            t=rs.t + self.dt,
+        )
+        if self.cfg.terrain.measure_heights:
+            rs = rs.replace(measured_heights=self._get_heights(phys))
+
+        # termination flags for alive/termination terms (no actual reset)
+        if len(self.termination_geoms):
+            forces = rs.geom_forces[:, self.termination_geoms]
+            contact = jnp.any(jnp.linalg.norm(forces, axis=-1) > 1.0, axis=-1)
+        else:
+            contact = jnp.zeros(B, bool)
+        rs = rs.replace(reset_buf=contact)
+
+        rs, rew = self._compute_rollout_reward(rs)
+        rs = rs.replace(last_actions=rs.actions, last_dof_vel=phys.joint_vel)
+        return rs, rew
+
+    def _compute_rollout_reward(self, rs: RolloutState) -> Tuple[RolloutState, jnp.ndarray]:
+        """Same term library over rollout state (reference
+        robot_batch_rollout_rew_mixin.py re-declares the mixin over
+        total_num_envs; here the methods are shape-polymorphic)."""
+        contact = rs.geom_forces[:, self.feet_geoms, 2] > 1.0
+        contact_filt = contact | rs.last_contacts
+        first_contact = (rs.feet_air_time > 0.0) & contact_filt
+        feet_air_time = rs.feet_air_time + self.dt
+        feet_contact_time = rs.feet_contact_time + self.dt
+        rs = rs.replace(last_contacts=contact)
+        ctx = dict(contact=contact, contact_filt=contact_filt,
+                   first_contact=first_contact,
+                   feet_air_time=feet_air_time,
+                   feet_contact_time=feet_contact_time)
+        scales = self.reward_scale_table[0]
+        rew = jnp.zeros(rs.phys.base_pos.shape[0])
+        for j, name in enumerate(self.reward_names):
+            rew = rew + getattr(self, f"_reward_{name}")(rs, ctx) * scales[j]
+        if self.cfg.rewards.only_positive_rewards:
+            rew = jnp.clip(rew, min=0.0)
+        rs = rs.replace(feet_air_time=feet_air_time * ~contact_filt,
+                        feet_contact_time=feet_contact_time * contact_filt)
+        return rs, rew
+
+    def rollout_batch(self, state: EnvState, all_us: jnp.ndarray) -> jnp.ndarray:
+        """Evaluate S candidate control sequences per main env.
+
+        all_us: [E, S, H+1, A] → per-step rewards [E, S, H+1]
+        (reference rollout_batch, robot_traj_grad_sampling.py:249-280 —
+        there it plays sequences through shared-sim rollout envs; here it is
+        a broadcast + scan, the reference's horizon loop :262-265)."""
+        E, S, H1, A = all_us.shape
+        rs0 = self.main_to_rollout(state)
+        # broadcast mains over the sample axis and flatten to one batch
+        rs0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None], (E, S) + x.shape[1:]).reshape(
+                (E * S,) + x.shape[1:]), rs0)
+        ep = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None], (E, S) + x.shape[1:]).reshape(
+                (E * S,) + x.shape[1:]), state.env_params)
+        us = all_us.reshape(E * S, H1, A)
+
+        def scan_fn(rs, u_t):
+            rs, rew = self.rollout_step(rs, u_t, ep)
+            return rs, rew
+
+        _, rews = jax.lax.scan(scan_fn, rs0, jnp.moveaxis(us, 1, 0))
+        return jnp.moveaxis(rews, 0, 1).reshape(E, S, H1)
+
+
+class RobotTrajGradSampling(RobotBatchRollout):
+    """Sampling-MPC environment: batch-rollout env + trajectory optimizer
+    (reference robot_traj_grad_sampling.py:25-404)."""
+
+    def __init__(self, cfg: RobotTrajGradSamplingCfg, **kw):
+        super().__init__(cfg, **kw)
+        to = cfg.trajectory_opt
+        self.traj_opt_cfg = TrajOptConfig(
+            num_samples=to.num_samples, temp_sample=to.temp_sample,
+            horizon_samples=to.horizon_samples, horizon_nodes=to.horizon_nodes,
+            num_diffuse_steps=to.num_diffuse_steps,
+            num_diffuse_steps_init=to.num_diffuse_steps_init,
+            horizon_diffuse_factor=to.horizon_diffuse_factor,
+            traj_diffuse_factor=to.traj_diffuse_factor,
+            noise_scaling=to.noise_scaling, update_method=to.update_method,
+            gamma=to.gamma, interp_method=to.interp_method)
+        self.traj_sampler = TrajGradSampling(self.traj_opt_cfg, self.num_envs,
+                                             self.num_actions)
+
+    # ---- the reference API surface (robot_traj_grad_sampling.py:148-280) ----
+
+    def node2u_batch(self, nodes):
+        return self.traj_sampler.node2u(nodes)
+
+    def u2node_batch(self, us):
+        return self.traj_sampler.u2node(us)
+
+    def optimize_all_trajectories(self, state: EnvState, nodes: jnp.ndarray,
+                                  key: jnp.ndarray, initial: bool = False,
+                                  n_diffuse: Optional[int] = None):
+        """Diffuse the node trajectories against rollouts from the current
+        main state (reference :226-247)."""
+        if n_diffuse is None:
+            n_diffuse = (self.traj_opt_cfg.num_diffuse_steps_init if initial
+                         else self.traj_opt_cfg.num_diffuse_steps)
+        rollout_fn = lambda all_us: self.rollout_batch(state, all_us)
+        return self.traj_sampler.optimize(nodes, rollout_fn, key, n_diffuse)
+
+    def shift_trajectory_batch(self, nodes: jnp.ndarray,
+                               append_action: Optional[jnp.ndarray] = None):
+        return self.traj_sampler.shift(nodes, 1, append_action)
+
+    def mpc_step(self, state: EnvState, nodes: jnp.ndarray, key: jnp.ndarray,
+                 n_diffuse: Optional[int] = None):
+        """One full MPC cycle: optimize → execute first action → shift
+        (reference step() :347-361 combined with the §3.2 call stack)."""
+        k_opt, _ = jax.random.split(key)
+        nodes, info = self.optimize_all_trajectories(state, nodes, k_opt,
+                                                     n_diffuse=n_diffuse)
+        action = self.node2u_batch(nodes)[:, 0]
+        state = self.step(state, action)
+        nodes = self.shift_trajectory_batch(nodes)
+        return state, nodes, info

@@ -224,10 +224,13 @@ def forward_dynamics(
         rhs = rhs.at[6:].add(tau_joint)
     if model.fix_base:
         # base locked: solve the joint-joint block only
-        Mjj = M[6:, 6:]
+        Mjj = M[6:, 6:] + 1e-6 * jnp.eye(M.shape[0] - 6, dtype=M.dtype)
         L = jnp.linalg.cholesky(Mjj)
         ud_j = jax.scipy.linalg.cho_solve((L, True), rhs[6:])
         return jnp.concatenate([jnp.zeros(6), ud_j])
+    # tiny diagonal regularization: keeps the factorization PD in extreme
+    # (post-impact, near-singular) configurations instead of emitting NaNs
+    M = M + 1e-6 * jnp.eye(M.shape[0], dtype=M.dtype)
     L = jnp.linalg.cholesky(M)
     return jax.scipy.linalg.cho_solve((L, True), rhs)
 
@@ -236,10 +239,12 @@ def integrate(
     base_pos, base_quat, joint_pos, base_lin_vel, base_ang_vel, joint_vel, udot, dt
 ):
     """Semi-implicit Euler: velocities first, then positions with the new
-    velocities (matches PhysX's symplectic integrator order)."""
-    v = base_lin_vel + dt * udot[0:3]
-    w = base_ang_vel + dt * udot[3:6]
-    thd = joint_vel + dt * udot[6:]
+    velocities (matches PhysX's symplectic integrator order).  Velocities are
+    clamped to generous hard limits, the same guard PhysX applies via
+    max_linear/angular_velocity (reference legged_robot_config.py:232-233)."""
+    v = jnp.clip(base_lin_vel + dt * udot[0:3], -100.0, 100.0)
+    w = jnp.clip(base_ang_vel + dt * udot[3:6], -100.0, 100.0)
+    thd = jnp.clip(joint_vel + dt * udot[6:], -500.0, 500.0)
     pos = base_pos + dt * v
     angle = jnp.linalg.norm(w) * dt
     axis = w / jnp.clip(jnp.linalg.norm(w), 1e-9)

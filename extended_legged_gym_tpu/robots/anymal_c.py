@@ -1,0 +1,72 @@
+"""ANYmal-C task configs.
+
+TPU ports of the reference configs
+(reference: legged_gym/legged_gym/envs/anymal_c/mixed_terrains/
+anymal_c_rough_config.py and flat/anymal_c_flat_config.py)."""
+from __future__ import annotations
+
+import os
+
+from ..envs.legged_robot_config import (AlgorithmCfg, AssetCfg, CommandsCfg,
+                                        ControlCfg, DomainRandCfg, EnvCfg,
+                                        InitStateCfg, LeggedRobotCfg,
+                                        LeggedRobotCfgPPO, NoiseCfg,
+                                        NormalizationCfg, PolicyCfg,
+                                        RewardScalesCfg, RewardsCfg, RunnerCfg,
+                                        SimCfg, TerrainCfg)
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+ANYMAL_C_DEFAULT_ANGLES = {
+    "LF_HAA": 0.0, "LH_HAA": 0.0, "RF_HAA": -0.0, "RH_HAA": -0.0,
+    "LF_HFE": 0.4, "LH_HFE": -0.4, "RF_HFE": 0.4, "RH_HFE": -0.4,
+    "LF_KFE": -0.8, "LH_KFE": 0.8, "RF_KFE": -0.8, "RH_KFE": 0.8,
+}
+
+
+def anymal_c_rough_cfg() -> LeggedRobotCfg:
+    cfg = LeggedRobotCfg()
+    cfg.env.num_envs = 4096
+    cfg.env.num_actions = 12
+    cfg.env.num_observations = 235
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.init_state.pos = [0.0, 0.0, 0.6]
+    cfg.init_state.default_joint_angles = dict(ANYMAL_C_DEFAULT_ANGLES)
+    cfg.control.stiffness = {"HAA": 80.0, "HFE": 80.0, "KFE": 80.0}
+    cfg.control.damping = {"HAA": 2.0, "HFE": 2.0, "KFE": 2.0}
+    cfg.control.action_scale = 0.5
+    cfg.control.decimation = 4
+    cfg.asset.file = os.path.join(_DATA, "anymal_c.json")
+    cfg.asset.name = "anymal_c"
+    cfg.asset.foot_name = "FOOT"
+    cfg.asset.penalize_contacts_on = ["SHANK", "THIGH"]
+    cfg.asset.terminate_after_contacts_on = ["base"]
+    cfg.domain_rand.randomize_base_mass = True
+    cfg.domain_rand.added_mass_range = [-5.0, 5.0]
+    cfg.rewards.base_height_target = 0.5
+    cfg.rewards.max_contact_force = 500.0
+    cfg.rewards.only_positive_rewards = True
+    return cfg
+
+
+def anymal_c_flat_cfg() -> LeggedRobotCfg:
+    """Flat-terrain variant (ref anymal_c_flat_config.py): 48-dim obs, no
+    height measurements, orientation/torque penalties enabled."""
+    cfg = anymal_c_rough_cfg()
+    cfg.env.num_observations = 48
+    cfg.terrain.mesh_type = "plane"
+    cfg.terrain.measure_heights = False
+    cfg.terrain.curriculum = False
+    cfg.rewards.scales.orientation = -5.0
+    cfg.rewards.scales.torques = -2.5e-5
+    cfg.rewards.scales.feet_air_time = 2.0
+    return cfg
+
+
+def anymal_c_ppo_cfg(experiment: str = "flat_anymal_c") -> LeggedRobotCfgPPO:
+    train = LeggedRobotCfgPPO()
+    train.runner.experiment_name = experiment
+    train.runner.max_iterations = 300
+    train.policy.actor_hidden_dims = [128, 64, 32]
+    train.policy.critic_hidden_dims = [128, 64, 32]
+    return train

@@ -1,0 +1,106 @@
+"""ElSpider Air hexapod task configs + env.
+
+Reference: legged_gym/legged_gym/envs/elspider_air/elspider.py (hexapod
+2-step tripod gait reward :365-408, multi-stage weights :351-363) and
+flat/elspider_air_flat_config.py."""
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from ..envs.legged_robot import LeggedRobot
+from ..envs.legged_robot_config import LeggedRobotCfg, LeggedRobotCfgPPO
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+ELSPIDER_DEFAULT_ANGLES = {}
+for leg in ["RF", "RM", "RB", "LF", "LM", "LB"]:
+    ELSPIDER_DEFAULT_ANGLES[f"{leg}_HAA"] = 0.0
+    ELSPIDER_DEFAULT_ANGLES[f"{leg}_HFE"] = 0.6
+    ELSPIDER_DEFAULT_ANGLES[f"{leg}_KFE"] = 0.6
+
+
+class ElSpider(LeggedRobot):
+    """Hexapod with tripod-gait synchronization reward.
+
+    Foot order (alphabetical, matching attach_feet sorting and the reference
+    comment at elspider.py:366): 0 LB, 1 LF, 2 LM, 3 RB, 4 RF, 5 RM.
+    Tripod group 1 = (LB, LF, RM) = (0, 1, 5); group 2 = (LM, RB, RF) =
+    (2, 3, 4); groups anti-synchronized (ref :365-408)."""
+
+    def _reward_gait_2_step(self, s, ctx):
+        g1 = [(0, 1), (0, 5), (1, 5)]
+        g2 = [(2, 3), (2, 4), (3, 4)]
+        across = [(a, b) for a in (0, 1, 5) for b in (2, 3, 4)]
+        sync = sum(self._sync_rew(ctx, a, b) for a, b in g1 + g2) / 6
+        async_ = sum(self._async_rew(ctx, a, b) for a, b in across) / 9
+        re = sync + async_
+        c = s.commands
+        idx = 3 if self.cfg.commands.heading_command else 2
+        active = (jnp.linalg.norm(c[:, :2], axis=1) > self.speed_min) | \
+            (jnp.abs(c[:, idx]) >= self.speed_min / 2)
+        return re * active
+
+
+def elspider_air_rough_cfg() -> LeggedRobotCfg:
+    cfg = LeggedRobotCfg()
+    cfg.env.num_envs = 4096
+    cfg.env.num_actions = 18
+    cfg.env.num_observations = 66 + 187
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.terrain_length = 8.0
+    cfg.terrain.terrain_width = 8.0
+    cfg.terrain.num_rows = 10
+    cfg.terrain.num_cols = 10
+    cfg.terrain.max_init_terrain_level = 0
+    cfg.terrain.terrain_proportions = [0.1, 0.1, 0.3, 0.3, 0.2]
+    cfg.init_state.pos = [0.0, 0.0, 0.4]
+    cfg.init_state.default_joint_angles = dict(ELSPIDER_DEFAULT_ANGLES)
+    cfg.control.stiffness = {"HAA": 80.0, "HFE": 80.0, "KFE": 80.0}
+    cfg.control.damping = {"HAA": 2.0, "HFE": 2.0, "KFE": 2.0}
+    cfg.control.action_scale = 0.5
+    cfg.asset.file = os.path.join(_DATA, "elspider_air.json")
+    cfg.asset.name = "elspider_air"
+    cfg.asset.foot_name = "FOOT"
+    cfg.asset.penalize_contacts_on = ["SHANK", "THIGH"]
+    cfg.asset.terminate_after_contacts_on = ["base"]
+    cfg.rewards.base_height_target = 0.28
+    cfg.rewards.max_contact_force = 500.0
+    return cfg
+
+
+def elspider_air_flat_cfg() -> LeggedRobotCfg:
+    """Flat config with multi-stage rewards (ref elspider_air_flat_config.py:
+    feet_slip ramps in at stage 1)."""
+    cfg = elspider_air_rough_cfg()
+    cfg.env.num_observations = 66
+    cfg.terrain.mesh_type = "plane"
+    cfg.terrain.measure_heights = False
+    cfg.terrain.curriculum = False
+    cfg.rewards.multi_stage_rewards = True
+    cfg.rewards.reward_stage_threshold = 6.0
+    cfg.rewards.reward_max_stage = 1
+    sc = cfg.rewards.scales
+    sc.tracking_lin_vel = 1.0
+    sc.tracking_ang_vel = 0.5
+    sc.lin_vel_z = -2.0
+    sc.ang_vel_xy = -0.05
+    sc.orientation = -5.0
+    sc.torques = -0.00001
+    sc.dof_acc = -5e-8
+    sc.base_height = -8.0
+    sc.feet_slip = [-0.0, -0.4]
+    sc.feet_air_time = 0.8
+    sc.collision = -1.0
+    sc.action_rate = -0.001
+    sc.dof_pos_limits = -1.0
+    sc.gait_2_step = -5.0
+    return cfg
+
+
+def elspider_air_ppo_cfg() -> LeggedRobotCfgPPO:
+    t = LeggedRobotCfgPPO()
+    t.runner.experiment_name = "flat_elspider_air"
+    t.runner.multi_stage_rewards = True
+    return t

@@ -1,0 +1,138 @@
+"""Trajectory-gradient sampling: the diffusion-style sampling MPC core.
+
+Rebuilds the external ``traj_sampling.TrajGradSampling`` facade the reference
+environments drive (call surface reconstructed in SURVEY §3.3 from
+robot_traj_grad_sampling.py:62-280: ctor args, ``node_trajectories``
+[num_envs, Hnode+1, A], ``optimize_all_trajectories``,
+``shift_trajectory_batch``, ``node2u_batch``/``u2node_batch``).
+
+Design: functional core + thin stateful wrapper.  The whole optimization —
+noise-scheduled sampling, node→dense conversion, batched dynamics rollout,
+MPPI/WBFO/AVWBFO update, ``n_diffuse`` iterations — is one jittable function
+whose sample axis is the natural sharding axis across chips (SURVEY §7.6).
+
+Noise schedule (cfg robot_traj_grad_sampling_config.py:49-71): node h gets
+``noise_scaling · horizon_diffuse_factor^(Hnode−h)`` (more noise further into
+the horizon), annealed per diffusion iteration i by ``traj_diffuse_factor^i``.
+The current mean rides along as sample 0, so the update can never regress
+below the incumbent trajectory (Nsample=127 ⇒ 128 evaluated rollouts).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .optimizers import make_update_fn
+from .spline import TrajSpline
+
+
+class TrajOptConfig(NamedTuple):
+    """Mirror of cfg.trajectory_opt (robot_traj_grad_sampling_config.py:44-71)."""
+
+    num_samples: int = 127
+    temp_sample: float = 0.1
+    horizon_samples: int = 16
+    horizon_nodes: int = 4
+    num_diffuse_steps: int = 2
+    num_diffuse_steps_init: int = 10
+    horizon_diffuse_factor: float = 0.9
+    traj_diffuse_factor: float = 0.5
+    noise_scaling: float = 1.5
+    update_method: str = "avwbfo"
+    gamma: float = 1.0
+    interp_method: str = "spline"
+
+
+class TrajGradSampling:
+    """Sampling-based trajectory optimizer over a batch of main envs.
+
+    ``rollout_fn(all_us, rollout_ctx) -> rewards``:
+        all_us  [E, S, Hsample+1, A] dense controls per env per sample
+        rewards [E, S, Hsample+1] per-step rewards
+    The caller closes the environment state into ``rollout_ctx`` (the
+    reference reaches through rollout envs instead —
+    robot_traj_grad_sampling.py:249-280)."""
+
+    def __init__(self, cfg: TrajOptConfig, num_envs: int, num_actions: int):
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self.num_actions = num_actions
+        self.spline = TrajSpline(cfg.horizon_nodes, cfg.horizon_samples, cfg.interp_method)
+        self.update_fn = make_update_fn(cfg.update_method, cfg.temp_sample,
+                                        self.spline.A, cfg.gamma)
+        # per-node noise schedule
+        h = jnp.arange(cfg.horizon_nodes + 1, dtype=jnp.float32)
+        self.node_sigma = cfg.noise_scaling * cfg.horizon_diffuse_factor ** (
+            cfg.horizon_nodes - h)
+
+    # ---------------- conversions (ref :148-170) ----------------
+
+    def node2u(self, nodes: jnp.ndarray) -> jnp.ndarray:
+        return self.spline.node2dense(nodes)
+
+    def u2node(self, us: jnp.ndarray) -> jnp.ndarray:
+        return self.spline.dense2node(us)
+
+    node2u_batch = node2u
+    u2node_batch = u2node
+
+    # ---------------- initialization ----------------
+
+    def init_node_trajectories(self) -> jnp.ndarray:
+        return jnp.zeros((self.num_envs, self.cfg.horizon_nodes + 1, self.num_actions))
+
+    def init_from_actions(self, action_seq: jnp.ndarray) -> jnp.ndarray:
+        """RL warm-start: fit nodes to a dense action sequence rolled out by a
+        policy (ref robot_traj_grad_sampling.py:78-123)."""
+        return self.u2node(action_seq)
+
+    # ---------------- core optimization ----------------
+
+    def optimize(self, nodes: jnp.ndarray, rollout_fn: Callable, key: jnp.ndarray,
+                 n_diffuse: int) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Run ``n_diffuse`` diffusion iterations (static count) on the batch
+        of mean node trajectories [E, Hnode+1, A]."""
+        cfg = self.cfg
+        E, A = self.num_envs, self.num_actions
+        S = cfg.num_samples + 1  # +1: mean rides along as sample 0
+
+        def diffuse_step(carry, inp):
+            nodes, = carry
+            i, k = inp
+            sigma = self.node_sigma[None, None, :, None] * cfg.traj_diffuse_factor ** i
+            eps = jax.random.normal(k, (E, cfg.num_samples, cfg.horizon_nodes + 1, A))
+            samples = nodes[:, None] + sigma * eps
+            samples = jnp.concatenate([nodes[:, None], samples], axis=1)  # [E, S, Hn+1, A]
+            # node 0 is the action being executed now — keep it fixed
+            samples = samples.at[:, :, 0, :].set(nodes[:, None, 0, :])
+            all_us = self.node2u(samples)                                  # [E, S, Hs+1, A]
+            rewards = rollout_fn(all_us)                                   # [E, S, Hs+1]
+            new_nodes = jax.vmap(self.update_fn)(nodes, samples, rewards)
+            info = dict(rew_mean=rewards.mean(axis=(1, 2)),
+                        rew_best=rewards.sum(axis=-1).max(axis=1) / (cfg.horizon_samples + 1))
+            return (new_nodes,), info
+
+        keys = jax.random.split(key, n_diffuse)
+        idx = jnp.arange(n_diffuse, dtype=jnp.float32)
+        (nodes,), infos = jax.lax.scan(diffuse_step, (nodes,), (idx, keys))
+        return nodes, infos
+
+    # ---------------- receding horizon ----------------
+
+    def shift(self, nodes: jnp.ndarray, n_steps: int = 1,
+              append_action: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Shift trajectories after the main envs advanced ``n_steps``
+        (ref shift_nodetraj_batch, robot_traj_grad_sampling.py:172-208):
+        node→dense, roll left, repeat-or-policy-append the tail, dense→node."""
+        us = self.node2u(nodes)                             # [E, Hs+1, A]
+        us = jnp.roll(us, -n_steps, axis=-2)
+        if append_action is None:
+            tail = us[..., -n_steps - 1:-n_steps, :]
+            tail = jnp.repeat(tail, n_steps, axis=-2)
+        else:
+            tail = jnp.broadcast_to(
+                append_action[..., None, :], us[..., -n_steps:, :].shape)
+        us = us.at[..., -n_steps:, :].set(tail)
+        return self.u2node(us)

@@ -52,9 +52,17 @@ def _make_copier(value):
 
 def class_to_dict(obj: Any) -> Any:
     """Recursively convert a config (dataclass) to nested dicts
-    (reference helpers.py:43 ``class_to_dict``)."""
+    (reference helpers.py:43 ``class_to_dict``).  Includes attributes added
+    dynamically on instances — robot configs extend reward scales by plain
+    assignment (``cfg.rewards.scales.no_fly = 0.25``), mirroring the
+    reference's subclass-with-new-attribute pattern."""
     if is_dataclass(obj) and not isinstance(obj, type):
-        return {f.name: class_to_dict(getattr(obj, f.name)) for f in fields(obj)}
+        out = {f.name: class_to_dict(getattr(obj, f.name)) for f in fields(obj)}
+        declared = set(out)
+        for k, v in vars(obj).items():
+            if k not in declared and not k.startswith("_"):
+                out[k] = class_to_dict(v)
+        return out
     if isinstance(obj, (list, tuple)):
         return type(obj)(class_to_dict(v) for v in obj)
     if isinstance(obj, dict):

@@ -1,0 +1,60 @@
+"""End-to-end training smoke: runner + env + PPO on a tiny config."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg, anymal_c_ppo_cfg
+from extended_legged_gym_tpu.rl.runner import OnPolicyRunner
+
+
+def _tiny_setup(num_envs=8, steps=8):
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = num_envs
+    train = anymal_c_ppo_cfg()
+    train.runner.num_steps_per_env = steps
+    train.policy.actor_hidden_dims = [32, 16]
+    train.policy.critic_hidden_dims = [32, 16]
+    env = LeggedRobot(cfg)
+    return env, train
+
+
+def test_train_iteration_runs_and_improves_nothing_breaks():
+    env, train = _tiny_setup()
+    runner = OnPolicyRunner(env, train)
+    metrics = runner.learn(3, log_interval=100)
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["mean_step_reward"])
+    assert metrics["fps"] > 0
+    # params actually changed
+    sd0 = runner.network.init(jax.random.PRNGKey(train.seed),
+                              jnp.zeros((1, env.num_obs)), jnp.zeros((1, env.num_obs)))
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     runner.state.ppo.params, sd0))
+    assert diff > 0
+
+
+def test_save_load_roundtrip(tmp_path):
+    env, train = _tiny_setup(num_envs=4, steps=4)
+    runner = OnPolicyRunner(env, train, log_dir=str(tmp_path))
+    runner.learn(2, log_interval=100, save_interval=1000)
+    path = os.path.join(str(tmp_path), "ckpt.pkl")
+    runner.save(path)
+
+    runner2 = OnPolicyRunner(env, train)
+    runner2.load(path)
+    p1 = jax.tree.leaves(runner.state.ppo.params)
+    p2 = jax.tree.leaves(runner2.state.ppo.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # inference policy runs
+    pol = runner2.get_inference_policy()
+    act = pol(jnp.zeros((3, env.num_obs)))
+    assert act.shape == (3, env.num_actions)
+    # metrics written
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))

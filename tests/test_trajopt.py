@@ -1,0 +1,149 @@
+"""Trajectory-optimizer tests on analytic dynamics — the TPU port of the
+reference's sim-free optimizer tests (tests/score_sampling/test_wbfo.py
+double-integrator strategy and cmp_mppi_wbfo.py landscape comparisons)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extended_legged_gym_tpu.trajopt.optimizers import (avwbfo_update,
+                                                        mppi_update,
+                                                        wbfo_update)
+from extended_legged_gym_tpu.trajopt.sampling import TrajGradSampling, TrajOptConfig
+from extended_legged_gym_tpu.trajopt.spline import TrajSpline
+
+
+def double_integrator_rollout(us):
+    """[.., T, 1] controls → positions [.., T+1] (ref test_wbfo.py:14-30)."""
+
+    def step(carry, u):
+        pos, vel = carry
+        vel = vel + u[..., 0]
+        pos = pos + vel
+        return (pos, vel), pos
+
+    T = us.shape[-2]
+    batch = us.shape[:-2]
+    init = (jnp.zeros(batch), jnp.zeros(batch))
+    us_t = jnp.moveaxis(us, -2, 0)
+    _, pos = jax.lax.scan(step, init, us_t)
+    pos = jnp.moveaxis(pos, 0, -1)
+    return jnp.concatenate([jnp.zeros(batch + (1,)), pos], axis=-1)
+
+
+def test_spline_roundtrip_batched():
+    sp = TrajSpline(4, 16, "spline")
+    nodes = jax.random.normal(jax.random.PRNGKey(0), (3, 7, 5, 2))
+    dense = sp.node2dense(nodes)
+    assert dense.shape == (3, 7, 17, 2)
+    rec = sp.dense2node(dense)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(nodes), atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["mppi", "avwbfo"])
+def test_optimizer_reaches_target(method):
+    """Double integrator must reach a target position (ref test_wbfo.py:60-106).
+    Plain WBFO is excluded here: per-step rewards on an integrator misattribute
+    credit (position error at t is caused by *earlier* controls); it is tested
+    on the locally-attributable landscape below, mirroring cmp_mppi_wbfo.py."""
+    target = 30.0
+    cfg = TrajOptConfig(num_samples=127, temp_sample=0.1, horizon_samples=32,
+                        horizon_nodes=8, noise_scaling=2.0,
+                        horizon_diffuse_factor=0.95, traj_diffuse_factor=0.9,
+                        update_method=method, gamma=0.99)
+    opt = TrajGradSampling(cfg, num_envs=1, num_actions=1)
+
+    def rollout_fn(all_us):
+        pos = double_integrator_rollout(all_us)  # [E, S, T+1]
+        return -jnp.square(pos[..., 1:] - target) / 100.0  # per-step rewards
+
+    nodes = opt.init_node_trajectories()
+    nodes, infos = jax.jit(
+        lambda n, k: opt.optimize(n, rollout_fn, k, n_diffuse=25))(
+            nodes, jax.random.PRNGKey(1))
+    final_pos = double_integrator_rollout(opt.node2u(nodes))[0, -1]
+    assert abs(float(final_pos) - target) < 6.0, (method, float(final_pos))
+    # reward improved monotonically-ish over diffusion steps
+    rew = np.asarray(infos["rew_best"])[:, 0]
+    assert rew[-1] > rew[0]
+
+
+def test_mean_sample_rides_along():
+    """With zero noise... the mean is sample 0, so the update can only pick
+    trajectories at least as good as the incumbent under MPPI weighting."""
+    cfg = TrajOptConfig(num_samples=15, horizon_samples=8, horizon_nodes=4,
+                        update_method="mppi", temp_sample=0.01,
+                        noise_scaling=1e-6, traj_diffuse_factor=1.0)
+    opt = TrajGradSampling(cfg, num_envs=1, num_actions=1)
+    nodes0 = jnp.ones((1, 5, 1)) * 0.5
+
+    def rollout_fn(all_us):
+        # reward peaks at u = 0.5 everywhere: incumbent is optimal
+        return -jnp.square(all_us[..., 0] - 0.5)
+
+    nodes, _ = opt.optimize(nodes0, rollout_fn, jax.random.PRNGKey(0), 3)
+    np.testing.assert_allclose(np.asarray(nodes), np.asarray(nodes0), atol=1e-4)
+
+
+def test_shift_receding_horizon():
+    """Shift moves the dense trajectory one step earlier.  Use a quadratic
+    trajectory (reproduced exactly by the Catmull-Rom space, and still
+    quadratic after the shift) so fit error doesn't mask the semantics."""
+    cfg = TrajOptConfig(horizon_samples=8, horizon_nodes=4)
+    opt = TrajGradSampling(cfg, num_envs=2, num_actions=1)
+    t = jnp.linspace(0.0, 1.0, 5)
+    quad = (0.3 + 0.5 * t - 1.2 * t**2)[None, :, None]
+    nodes = jnp.concatenate([quad, 2 * quad], axis=0)
+    us = opt.node2u(nodes)
+    shifted = opt.shift(nodes, 1)
+    us2 = opt.node2u(shifted)
+    np.testing.assert_allclose(np.asarray(us2[:, :-2]), np.asarray(us[:, 1:-1]),
+                               atol=0.08)
+    # tail repeated from last kept value
+    np.testing.assert_allclose(np.asarray(us2[:, -1]), np.asarray(us[:, -1]),
+                               atol=0.1)
+
+
+@pytest.mark.parametrize("method", ["mppi", "wbfo", "avwbfo"])
+def test_optimizer_quadratic_landscape(method):
+    """Direct-position quadratic landscape (ref cmp_mppi_wbfo.py:65-90):
+    the dense trajectory IS the 2D position path, reward = -|p_t - target|².
+    All three methods must drive the path to the target."""
+    target = jnp.array([5.0, 5.0])
+    cfg = TrajOptConfig(num_samples=100, temp_sample=0.1, horizon_samples=64,
+                        horizon_nodes=8, noise_scaling=2.0,
+                        horizon_diffuse_factor=1.0, traj_diffuse_factor=0.95,
+                        update_method=method, gamma=0.99)
+    opt = TrajGradSampling(cfg, num_envs=1, num_actions=2)
+
+    def rollout_fn(all_us):
+        return -jnp.sum(jnp.square(all_us - target), axis=-1)
+
+    nodes = opt.init_node_trajectories()
+    nodes, infos = jax.jit(
+        lambda n, k: opt.optimize(n, rollout_fn, k, n_diffuse=20))(
+            nodes, jax.random.PRNGKey(7))
+    # the tail of the path (free nodes; node 0 is pinned) reaches the target
+    path = opt.node2u(nodes)[0]
+    err = float(jnp.linalg.norm(path[32:] - target, axis=-1).mean())
+    assert err < 1.0, (method, err)
+
+
+def test_wbfo_localizes_updates():
+    """WBFO should exploit per-step reward structure: with rewards that only
+    depend on the FIRST half of the horizon, late nodes get near-uniform
+    weights while early nodes track reward. Check early nodes move toward the
+    good samples more than MPPI-late-node drift."""
+    key = jax.random.PRNGKey(3)
+    Hn, Hs, N = 4, 16, 256
+    sp = TrajSpline(Hn, Hs)
+    mean = jnp.zeros((Hn + 1, 1))
+    samples = mean[None] + jax.random.normal(key, (N, Hn + 1, 1))
+    us = sp.node2dense(samples)
+    # reward: only first 8 steps matter; optimal control = +1
+    r = -jnp.square(us[..., 0] - 1.0)
+    r = r.at[:, 9:].set(0.0)
+    new = wbfo_update(mean, samples, r, temp=0.1, basis=sp.A)
+    # early nodes pulled toward 1
+    assert float(new[0, 0]) > 0.3
+    assert float(new[1, 0]) > 0.3
