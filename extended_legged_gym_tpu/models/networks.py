@@ -75,6 +75,16 @@ def gaussian_entropy(std):
     return jnp.sum(0.5 + 0.5 * jnp.log(2 * jnp.pi) + jnp.log(std), axis=-1)
 
 
+def rnn_carry(rnn_type: str, hidden_size: int, batch_dims: Tuple[int, ...]):
+    """Zero-initialized RNN carry (LSTM: (c, h); GRU: h).  Plain constructor —
+    flax cells initialize carries to zeros, and building a cell outside
+    init/apply trips module-scope assertions."""
+    shape = tuple(batch_dims) + (hidden_size,)
+    if rnn_type == "lstm":
+        return (jnp.zeros(shape), jnp.zeros(shape))
+    return jnp.zeros(shape)
+
+
 class Memory(nn.Module):
     """LSTM/GRU scan cell for recurrent policies (reference networks/memory.py:14).
     Operates on a single step; the runner carries hidden state and resets it
@@ -93,11 +103,7 @@ class Memory(nn.Module):
         return out, carry
 
     def initialize_carry(self, key, batch_dims):
-        if self.rnn_type == "lstm":
-            cell = nn.OptimizedLSTMCell(self.hidden_size)
-        else:
-            cell = nn.GRUCell(self.hidden_size)
-        return cell.initialize_carry(key, batch_dims + (self.hidden_size,))
+        return rnn_carry(self.rnn_type, self.hidden_size, batch_dims)
 
 
 class ActorCriticRecurrent(nn.Module):
