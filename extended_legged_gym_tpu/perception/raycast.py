@@ -34,6 +34,8 @@ class RaycastResult(NamedTuple):
 def _free(terrain: TerrainData, p: jnp.ndarray) -> jnp.ndarray:
     """Signed freeness: positive in free space, negative inside terrain."""
     h = sample_height(terrain, p[..., :2])
+    if not terrain.has_ceiling:
+        return p[..., 2] - h
     c = sample_ceiling(terrain, p[..., :2])
     return jnp.minimum(p[..., 2] - h, c - p[..., 2])
 

@@ -23,7 +23,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from flax import struct
 
-from ..terrain.heightfield import TerrainData, sample_ceiling, sample_height, sample_normal
+from ..terrain.heightfield import (TerrainData, sample_ceiling,
+                                   sample_height_and_normal)
 
 
 @struct.dataclass
@@ -44,9 +45,21 @@ def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0) -> ContactParam
 
 
 class ContactResult(NamedTuple):
+    """Damping is kept in structured form D = kt·I + (kd−kt)·nnᵀ (per active
+    contact) so downstream JᵀDJ assembly is two batched GEMMs instead of a
+    three-operand einsum — the difference between MXU work and scattered
+    small contractions."""
+
     f_el: jnp.ndarray        # [ng, 3] elastic (explicit) contact force, world
-    D: jnp.ndarray           # [ng, 3, 3] per-contact damping matrix, world
+    n: jnp.ndarray           # [ng, 3] contact normal
+    kt: jnp.ndarray          # [ng] tangential damping coefficient (0 if inactive)
+    kd_minus_kt: jnp.ndarray # [ng] normal-minus-tangential damping (0 if inactive)
     depth: jnp.ndarray       # [ng] penetration depth (≥ 0 when touching)
+
+    def apply_D(self, v: jnp.ndarray) -> jnp.ndarray:
+        """D @ v for per-geom vectors [ng, 3]."""
+        vn = jnp.sum(v * self.n, axis=-1, keepdims=True)
+        return self.kt[..., None] * v + self.kd_minus_kt[..., None] * vn * self.n
 
 
 def sphere_terrain_contact(
@@ -57,17 +70,17 @@ def sphere_terrain_contact(
     radius: jnp.ndarray,     # [ng]
 ) -> ContactResult:
     xy = pos[..., :2]
-    h = sample_height(terrain, xy)
-    n = sample_normal(terrain, xy)
+    h, n = sample_height_and_normal(terrain, xy)
 
     # ground contact: vertical gap of the sphere's lowest point
-    depth_g = (h + radius) - pos[..., 2]
-    # ceiling contact (confined terrains): gap of the sphere's highest point
-    c = sample_ceiling(terrain, xy)
-    depth_c = pos[..., 2] + radius - c
-    use_ceiling = depth_c > depth_g
-    depth = jnp.maximum(depth_g, depth_c)
-    n = jnp.where(use_ceiling[..., None], jnp.array([0.0, 0.0, -1.0]), n)
+    depth = (h + radius) - pos[..., 2]
+    if terrain.has_ceiling:
+        # ceiling contact (confined terrains): gap of the sphere's highest point
+        c = sample_ceiling(terrain, xy)
+        depth_c = pos[..., 2] + radius - c
+        use_ceiling = depth_c > depth
+        depth = jnp.maximum(depth, depth_c)
+        n = jnp.where(use_ceiling[..., None], jnp.array([0.0, 0.0, -1.0]), n)
 
     active = (depth > 0.0).astype(pos.dtype)
     depth_a = jnp.maximum(depth, 0.0)
@@ -82,8 +95,6 @@ def sphere_terrain_contact(
 
     kt_eff = jnp.minimum(params.kt, params.mu * fn_est / jnp.clip(vt_norm, 1e-3))
     f_el = fn_el[..., None] * n * active[..., None]
-
-    nnT = n[..., :, None] * n[..., None, :]
-    eye = jnp.eye(3, dtype=pos.dtype)
-    D = (params.kd * nnT + kt_eff[..., None, None] * (eye - nnT)) * active[..., None, None]
-    return ContactResult(f_el=f_el, D=D, depth=depth)
+    kt_a = kt_eff * active
+    kd_m_kt = (params.kd - kt_eff) * active
+    return ContactResult(f_el=f_el, n=n, kt=kt_a, kd_minus_kt=kd_m_kt, depth=depth)

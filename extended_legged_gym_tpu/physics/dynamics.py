@@ -191,8 +191,17 @@ def mass_matrix(model: RobotModel, kin: Kinematics, Jv: jnp.ndarray, Jw: jnp.nda
                 mass: jnp.ndarray | None = None) -> jnp.ndarray:
     """Joint-space inertia matrix via Jacobian assembly (CRBA-equivalent)."""
     m = model.mass if mass is None else mass
-    Iw = jnp.einsum("bij,bjk,blk->bil", kin.body_rot, model.inertia, kin.body_rot)
-    M = jnp.einsum("b,biv,biw->vw", m, Jv, Jv) + jnp.einsum("biv,bij,bjw->vw", Jw, Iw, Jw)
+    nb, nv = model.nb, model.nv
+    # Iw = R I Rᵀ, then assemble via flattened GEMMs (MXU-friendly):
+    #   M = (√m Jv)ᵀ(√m Jv) + Jwᵀ (Iw Jw)
+    RI = jnp.einsum("bij,bjk->bik", kin.body_rot, model.inertia)
+    Iw = jnp.einsum("bik,blk->bil", RI, kin.body_rot)
+    Jv_m = (Jv * jnp.sqrt(m)[:, None, None]).reshape(3 * nb, nv)
+    IwJw = jnp.einsum("bij,bjw->biw", Iw, Jw).reshape(3 * nb, nv)
+    Jw_f = Jw.reshape(3 * nb, nv)
+    M = Jv_m.T @ Jv_m + Jw_f.T @ IwJw
+    # symmetrize (the Jwᵀ Iw Jw GEMM is symmetric only up to rounding)
+    M = 0.5 * (M + M.T)
     if model.nj:
         idx = jnp.arange(6, model.nv)
         M = M.at[idx, idx].add(model.armature)
@@ -203,7 +212,8 @@ def bias_forces(model: RobotModel, kin: Kinematics, Jv: jnp.ndarray, Jw: jnp.nda
                 gravity: jnp.ndarray, mass: jnp.ndarray | None = None) -> jnp.ndarray:
     """Generalized bias forces C(q, u) (Coriolis + centrifugal + gravity)."""
     m = model.mass if mass is None else mass
-    Iw = jnp.einsum("bij,bjk,blk->bil", kin.body_rot, model.inertia, kin.body_rot)
+    RI = jnp.einsum("bij,bjk->bik", kin.body_rot, model.inertia)
+    Iw = jnp.einsum("bik,blk->bil", RI, kin.body_rot)
     f_lin = m[:, None] * (kin.a_com_bias - gravity[None, :])               # [nb, 3]
     Iw_w = jnp.einsum("bij,bj->bi", Iw, kin.omega)
     f_ang = jnp.einsum("bij,bj->bi", Iw, kin.alpha_bias) + jnp.cross(kin.omega, Iw_w)
@@ -219,20 +229,20 @@ def forward_dynamics(
 ) -> jnp.ndarray:
     """u̇ = M⁻¹ (Sτ − C + τ_ext); Cholesky solve on the small static-size
     system (nv ≈ 18 for quadrupeds — XLA lowers the batched factorization)."""
+    from ..ops.linalg import cho_solve_unrolled
+
     rhs = tau_ext - C
     if model.nj:
         rhs = rhs.at[6:].add(tau_joint)
+    # tiny diagonal regularization keeps the factorization PD in extreme
+    # (post-impact, near-singular) configurations; the unrolled Cholesky is
+    # ~4x faster than the batched LAPACK path on TPU at nv≈18 (ops/linalg.py)
     if model.fix_base:
-        # base locked: solve the joint-joint block only
         Mjj = M[6:, 6:] + 1e-6 * jnp.eye(M.shape[0] - 6, dtype=M.dtype)
-        L = jnp.linalg.cholesky(Mjj)
-        ud_j = jax.scipy.linalg.cho_solve((L, True), rhs[6:])
+        ud_j = cho_solve_unrolled(Mjj, rhs[6:])
         return jnp.concatenate([jnp.zeros(6), ud_j])
-    # tiny diagonal regularization: keeps the factorization PD in extreme
-    # (post-impact, near-singular) configurations instead of emitting NaNs
     M = M + 1e-6 * jnp.eye(M.shape[0], dtype=M.dtype)
-    L = jnp.linalg.cholesky(M)
-    return jax.scipy.linalg.cho_solve((L, True), rhs)
+    return cho_solve_unrolled(M, rhs)
 
 
 def integrate(

@@ -139,13 +139,19 @@ def _physics_step_f32(model, terrain, sp, state, joint_torque, env_params):
     C = bias_forces(model, kin, Jv, Jw, sp.gravity, mass=mass)
 
     Jg = point_jacobian(model, kin, gb, g_pos)          # [ng, 3, nv]
-    # implicit contact damping: M' = M + dt Σ JᵀDJ
-    M_imp = M + sp.dt * jnp.einsum("giv,gij,gjw->vw", Jg, contact.D, Jg)
+    # implicit contact damping M' = M + dt Σ JᵀDJ with D = kt·I + (kd−kt)·nnᵀ:
+    #   Σ kt JᵀJ      → one flattened [3ng, nv] GEMM (J pre-scaled by √kt)
+    #   Σ (kd−kt)aaᵀ  → one [ng, nv] GEMM with a = Jᵀn
+    ng = Jg.shape[0]
+    a = jnp.einsum("giv,gi->gv", Jg, contact.n)
+    J_kt = (Jg * jnp.sqrt(jnp.maximum(contact.kt, 0.0))[:, None, None]).reshape(3 * ng, model.nv)
+    JtDJ = J_kt.T @ J_kt + jnp.einsum("gv,gw->vw", a * contact.kd_minus_kt[:, None], a)
+    M_imp = M + sp.dt * JtDJ
     if model.nj:
         idx = jnp.arange(6, model.nv)
         M_imp = M_imp.at[idx, idx].add(sp.dt * sp.joint_damping)
 
-    f_expl = contact.f_el - jnp.einsum("gij,gj->gi", contact.D, g_vel)
+    f_expl = contact.f_el - contact.apply_D(g_vel)
     tau_ext = jnp.einsum("giv,gi->v", Jg, f_expl)
     tau_j = joint_torque - sp.joint_damping * state.joint_vel
 
@@ -159,7 +165,7 @@ def _physics_step_f32(model, terrain, sp, state, joint_torque, env_params):
 
     # --- force reporting with post-step velocities (implicit-consistent) ---
     g_vel_new = g_vel + sp.dt * jnp.einsum("giv,v->gi", Jg, udot)
-    geom_forces = contact.f_el - jnp.einsum("gij,gj->gi", contact.D, g_vel_new)
+    geom_forces = contact.f_el - contact.apply_D(g_vel_new)
     geom_forces = geom_forces * (contact.depth > 0.0).astype(geom_forces.dtype)[..., None]
 
     fb = model.foot_body

@@ -27,6 +27,9 @@ class TerrainData:
     friction: jnp.ndarray       # scalar: terrain friction coefficient
     # two-layer (confined) support: ceiling height, +inf when absent
     ceiling: jnp.ndarray        # [H, W] float32
+    # static: lets contact/raycast skip the ceiling gathers entirely for
+    # open-sky terrains (half the terrain reads in the contact hot path)
+    has_ceiling: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -42,6 +45,7 @@ def flat_terrain(size: float = 20.0, hscale: float = 0.5, friction: float = 1.0,
 
 def from_numpy(height: np.ndarray, hscale: float, origin=(0.0, 0.0), friction: float = 1.0,
                ceiling: np.ndarray | None = None) -> TerrainData:
+    has_ceiling = ceiling is not None and bool((np.asarray(ceiling) < 1e5).any())
     if ceiling is None:
         ceiling = np.full_like(height, 1e6)
     return TerrainData(
@@ -50,6 +54,7 @@ def from_numpy(height: np.ndarray, hscale: float, origin=(0.0, 0.0), friction: f
         origin=jnp.asarray(origin, dtype=jnp.float32),
         friction=jnp.asarray(friction, dtype=jnp.float32),
         ceiling=jnp.asarray(ceiling, dtype=jnp.float32),
+        has_ceiling=has_ceiling,
     )
 
 
@@ -62,17 +67,26 @@ def _grid_coords(terrain: TerrainData, xy: jnp.ndarray):
     return gx, gy
 
 
-def _bilinear(grid: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+def _corners(grid: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray):
+    """Gather the 4 bilinear corners via 1D linear indices — XLA lowers flat
+    gathers far better on TPU than 2D advanced indexing (the 2D form was the
+    dominant cost of the whole physics step)."""
+    W = grid.shape[1]
+    flat = grid.reshape(-1)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
+    base = x0 * W + y0
+    h00 = jnp.take(flat, base)
+    h10 = jnp.take(flat, base + W)
+    h01 = jnp.take(flat, base + 1)
+    h11 = jnp.take(flat, base + W + 1)
     fx = gx - x0
     fy = gy - y0
-    h00 = grid[x0, y0]
-    h10 = grid[x1, y0]
-    h01 = grid[x0, y1]
-    h11 = grid[x1, y1]
+    return h00, h10, h01, h11, fx, fy
+
+
+def _bilinear(grid: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    h00, h10, h01, h11, fx, fy = _corners(grid, gx, gy)
     return (
         h00 * (1 - fx) * (1 - fy)
         + h10 * fx * (1 - fy)
@@ -88,20 +102,27 @@ def sample_height(terrain: TerrainData, xy: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_ceiling(terrain: TerrainData, xy: jnp.ndarray) -> jnp.ndarray:
+    if not terrain.has_ceiling:
+        return jnp.full(xy.shape[:-1], 1e6, dtype=jnp.float32)
     gx, gy = _grid_coords(terrain, xy)
     return _bilinear(terrain.ceiling, gx, gy)
 
 
-def sample_normal(terrain: TerrainData, xy: jnp.ndarray) -> jnp.ndarray:
-    """Terrain surface normal from central differences of the bilinear surface."""
-    H, W = terrain.height.shape
+def sample_height_and_normal(terrain: TerrainData, xy: jnp.ndarray):
+    """Fused height + surface normal from ONE 4-corner gather: the normal is
+    the analytic gradient of the bilinear patch (piecewise per cell) — the
+    contact path's only terrain reads."""
     gx, gy = _grid_coords(terrain, xy)
-    eps = 1.0  # one grid cell
-    x0 = jnp.clip(gx - eps, 0, H - 1.001)
-    x1 = jnp.clip(gx + eps, 0, H - 1.001)
-    y0 = jnp.clip(gy - eps, 0, W - 1.001)
-    y1 = jnp.clip(gy + eps, 0, W - 1.001)
-    dhdx = (_bilinear(terrain.height, x1, gy) - _bilinear(terrain.height, x0, gy)) / ((x1 - x0).clip(1e-6) * terrain.hscale)
-    dhdy = (_bilinear(terrain.height, gx, y1) - _bilinear(terrain.height, gx, y0)) / ((y1 - y0).clip(1e-6) * terrain.hscale)
-    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    h00, h10, h01, h11, fx, fy = _corners(terrain.height, gx, gy)
+    h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+         + h01 * (1 - fx) * fy + h11 * fx * fy)
+    dhdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / terrain.hscale
+    dhdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / terrain.hscale
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return h, n
+
+
+def sample_normal(terrain: TerrainData, xy: jnp.ndarray) -> jnp.ndarray:
+    """Terrain surface normal (analytic bilinear-patch gradient)."""
+    return sample_height_and_normal(terrain, xy)[1]
