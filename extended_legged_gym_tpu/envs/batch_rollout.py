@@ -111,6 +111,7 @@ class RolloutState:
     reset_buf: jnp.ndarray
     time_out_buf: jnp.ndarray
     t: jnp.ndarray              # rollout time [s] (the reference's t_rollout)
+    actuator_hidden: Optional[object]
 
 
 class RobotBatchRollout(LeggedRobot):
@@ -143,6 +144,7 @@ class RobotBatchRollout(LeggedRobot):
             reset_buf=jnp.zeros_like(state.reset_buf),
             time_out_buf=jnp.zeros_like(state.time_out_buf),
             t=(state.episode_length.astype(jnp.float32)) * self.dt,
+            actuator_hidden=state.actuator_hidden,
         )
 
     def rollout_step(self, rs: RolloutState, actions: jnp.ndarray,
@@ -152,8 +154,8 @@ class RobotBatchRollout(LeggedRobot):
         robot_batch_rollout.py:602-716 + post_physics_step_rollout :763-817)."""
         clip_a = self.cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
-        phys, torques, report = self._physics_substeps(
-            rs.phys, actions, env_params, rs.last_dof_vel)
+        phys, torques, report, act_hidden = self._physics_substeps(
+            rs.phys, actions, env_params, rs.last_dof_vel, rs.actuator_hidden)
 
         from ..utils.math import quat_rotate_inverse
 
@@ -164,6 +166,7 @@ class RobotBatchRollout(LeggedRobot):
         projected_gravity = quat_rotate_inverse(phys.base_quat, grav)
 
         rs = rs.replace(
+            actuator_hidden=act_hidden,
             phys=phys, actions=actions, torques=torques,
             base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,
             projected_gravity=projected_gravity,

@@ -65,6 +65,9 @@ class EnvState:
     feet_air_time: jnp.ndarray       # [B, nf]
     feet_contact_time: jnp.ndarray   # [B, nf]
     last_contacts: jnp.ndarray       # [B, nf] bool
+    # actuator-network LSTM hidden state (None when PD control is used;
+    # reference anymal.py:84-91 keeps sea_hidden/sea_cell per env)
+    actuator_hidden: Optional[Any]
 
     # derived, cached for obs/reward parity
     base_lin_vel: jnp.ndarray        # [B, 3] body frame
@@ -202,6 +205,13 @@ class LeggedRobot:
         # --- observation noise vector (ref legged_robot.py:533-556) ---
         self.noise_scale_vec = self._make_noise_scale_vec()
 
+        # --- actuator network (reference anymal.py:54-105, N5) ---
+        self.actuator_net = None
+        if cfg.control.use_actuator_network and cfg.control.actuator_net_file:
+            from ..models.actuator_net import ActuatorNetLSTM
+
+            self.actuator_net = ActuatorNetLSTM.from_json(cfg.control.actuator_net_file)
+
         self.default_dof_pos = model.default_dof_pos
         self.base_init_state = np.array(
             list(cfg.init_state.pos) + list(cfg.init_state.rot)
@@ -338,6 +348,8 @@ class LeggedRobot:
             feet_air_time=jnp.zeros((B, self.num_feet)),
             feet_contact_time=jnp.zeros((B, self.num_feet)),
             last_contacts=jnp.zeros((B, self.num_feet), bool),
+            actuator_hidden=(self.actuator_net.init_hidden((B, self.num_dof))
+                             if self.actuator_net is not None else None),
             base_lin_vel=jnp.zeros((B, 3)),
             base_ang_vel=jnp.zeros((B, 3)),
             projected_gravity=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (B, 1)),
@@ -420,35 +432,48 @@ class LeggedRobot:
         clip_a = cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
 
-        phys, torques, report = self._physics_substeps(
-            state.phys, actions, state.env_params, state.last_dof_vel)
-        state = state.replace(phys=phys, actions=actions, torques=torques)
+        phys, torques, report, act_hidden = self._physics_substeps(
+            state.phys, actions, state.env_params, state.last_dof_vel,
+            state.actuator_hidden)
+        state = state.replace(phys=phys, actions=actions, torques=torques,
+                              actuator_hidden=act_hidden)
         state = self._refresh_derived(state, report)
         return self._post_physics_step(state)
 
     def _physics_substeps(self, phys: PhysState, actions: jnp.ndarray,
-                          env_params: EnvPhysParams, last_dof_vel: jnp.ndarray):
+                          env_params: EnvPhysParams, last_dof_vel: jnp.ndarray,
+                          actuator_hidden=None):
         """Decimation loop: recompute torques each sim substep
-        (ref legged_robot.py:96-103)."""
+        (ref legged_robot.py:96-103; actuator-net hidden advances per substep
+        like the reference's per-step SEA evaluation, anymal.py:93-105)."""
 
         def substep(carry, _):
-            ph = carry
-            tau = self._compute_torques(actions, ph, last_dof_vel)
+            ph, hid = carry
+            tau, hid = self._compute_torques(actions, ph, last_dof_vel, hid)
             ph, rep = jax.vmap(
                 physics_step, in_axes=(None, None, None, 0, 0, 0)
             )(self.model, self.terrain, self.sim_params, ph, tau, env_params)
-            return ph, (tau, rep)
+            return (ph, hid), (tau, rep)
 
-        phys, (taus, reps) = jax.lax.scan(substep, phys, None,
-                                          length=self.cfg.control.decimation)
+        (phys, actuator_hidden), (taus, reps) = jax.lax.scan(
+            substep, (phys, actuator_hidden), None,
+            length=self.cfg.control.decimation)
         # report from the last substep; torques from the last substep
         last_rep = jax.tree.map(lambda x: x[-1], reps)
-        return phys, taus[-1], last_rep
+        return phys, taus[-1], last_rep, actuator_hidden
 
-    def _compute_torques(self, actions, phys: PhysState, last_dof_vel):
-        """PD / velocity / direct torque modes (ref legged_robot.py:425-448)."""
+    def _compute_torques(self, actions, phys: PhysState, last_dof_vel,
+                         actuator_hidden=None):
+        """PD / velocity / direct torque / actuator-net modes
+        (ref legged_robot.py:425-448; anymal.py:93-105 for the SEA net)."""
         cfg = self.cfg.control
         scaled = actions * cfg.action_scale
+        if self.actuator_net is not None:
+            pos_err = scaled + self.default_dof_pos - phys.joint_pos
+            x = jnp.stack([pos_err, phys.joint_vel], axis=-1)   # [B, nj, 2]
+            torques, actuator_hidden = self.actuator_net(x, actuator_hidden)
+            return jnp.clip(torques, -self.model.torque_limits,
+                            self.model.torque_limits), actuator_hidden
         if cfg.control_type == "P":
             torques = (self.p_gains * (scaled + self.default_dof_pos - phys.joint_pos)
                        - self.d_gains * phys.joint_vel)
@@ -459,7 +484,8 @@ class LeggedRobot:
             torques = scaled
         else:
             raise NameError(f"Unknown controller type: {cfg.control_type}")
-        return jnp.clip(torques, -self.model.torque_limits, self.model.torque_limits)
+        return (jnp.clip(torques, -self.model.torque_limits, self.model.torque_limits),
+                actuator_hidden)
 
     def _refresh_derived(self, state: EnvState, report: Optional[StepReport] = None) -> EnvState:
         """Base-frame velocities, gravity projection, foot states, heights
@@ -630,7 +656,13 @@ class LeggedRobot:
             em["rew_" + k] = em["rew_" + k] + jnp.sum(v * fmask) / self.max_episode_length_s
 
         episode_sums = {k: mask_zero(v) for k, v in state.episode_sums.items()}
+        act_hidden = state.actuator_hidden
+        if act_hidden is not None:
+            act_hidden = jax.tree.map(
+                lambda h: jnp.where(mask.reshape((B,) + (1,) * (h.ndim - 1)),
+                                    jnp.zeros_like(h), h), act_hidden)
         return state.replace(
+            actuator_hidden=act_hidden,
             phys=phys, commands=commands,
             episode_return=state.episode_return * (1.0 - fmask),
             episode_metrics=em,

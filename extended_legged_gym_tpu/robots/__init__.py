@@ -37,3 +37,57 @@ task_registry.register("elspider_air_flat", elspider_air.ElSpider,
                        elspider_air.elspider_air_ppo_cfg)
 task_registry.register("franka", franka.Franka, franka.franka_cfg,
                        franka.franka_ppo_cfg)
+
+# --- nav / planning / perception variants (reference nav_tasks/, plan-grad) ---
+from ..envs.navigation import RobotBatchRolloutNav, RobotNavCfg
+from ..envs.percept import RobotBatchRolloutPercept, RobotPerceptCfg
+from ..envs.plan_grad import RobotPlanGradSampling, RobotPlanGradSamplingCfg
+
+
+def _anymal_c_nav_barrier_cfg():
+    """ANYmal-C barrier navigation (reference anymal_c/nav_tasks/
+    anymal_c_barrier_cfg.py): confined barrier terrain + goal seeking."""
+    src = anymal_c_traj.anymal_c_traj_sampling_cfg(num_main_envs=4)
+    cfg = RobotNavCfg()
+    for f in ("env", "commands", "init_state", "control", "asset",
+              "domain_rand", "rewards", "normalization", "noise", "sim",
+              "trajectory_opt"):
+        setattr(cfg, f, getattr(src, f))
+    cfg.commands.resampling_time = 1e6  # nav controller owns the commands
+    cfg.navi_opt.start_pos = [1.0, 0.0, 0.5]
+    cfg.navi_opt.goal_pos = [5.0, 0.0, 0.5]
+    return cfg
+
+
+def _anymal_c_plan_cfg():
+    src = anymal_c_traj.anymal_c_traj_sampling_cfg(num_main_envs=4)
+    cfg = RobotPlanGradSamplingCfg()
+    for f in ("env", "terrain", "commands", "init_state", "control", "asset",
+              "domain_rand", "rewards", "normalization", "noise", "sim",
+              "trajectory_opt"):
+        setattr(cfg, f, getattr(src, f))
+    cfg.env.num_actions = 18  # 6 base + 12 joint state velocities
+    return cfg
+
+
+def _anymal_c_percept_cfg():
+    src = anymal_c_traj.anymal_c_traj_sampling_cfg(num_main_envs=4)
+    cfg = RobotPerceptCfg()
+    for f in ("env", "terrain", "commands", "init_state", "control", "asset",
+              "domain_rand", "rewards", "normalization", "noise", "sim",
+              "trajectory_opt", "raycaster"):
+        setattr(cfg, f, getattr(src, f))
+    cfg.raycaster.enable_raycast = True
+    cfg.raycaster.ray_pattern = "spherical"
+    cfg.raycaster.spherical_num_azimuth = 16
+    cfg.raycaster.spherical_num_elevation = 8
+    cfg.env.num_observations = 48 + 128
+    return cfg
+
+
+task_registry.register("anymal_c_nav_barrier", RobotBatchRolloutNav,
+                       _anymal_c_nav_barrier_cfg, None)
+task_registry.register("anymal_c_plan_grad_sampling", RobotPlanGradSampling,
+                       _anymal_c_plan_cfg, None)
+task_registry.register("anymal_c_percept", RobotBatchRolloutPercept,
+                       _anymal_c_percept_cfg, None)
