@@ -145,6 +145,7 @@ class LeggedRobot:
             contact=default_contact_params(kp=cfg.sim.contact_kp, kd=cfg.sim.contact_kd,
                                            kt=cfg.sim.contact_kt),
             joint_damping=cfg.sim.joint_damping,
+            solver=cfg.sim.solver,
         )
 
         # --- PD gains by joint-name matching (ref legged_robot.py:603-630) ---

@@ -1,0 +1,247 @@
+"""Articulated-Body Algorithm (ABA) physics step.
+
+O(n) alternative to the Jacobian/mass-matrix path in dynamics.py: no nv×nv
+system is ever assembled — three sweeps over the (static, ~13-body) tree with
+6-vector/6×6 blocks.  Roughly 10× fewer FLOPs and far less intermediate HBM
+traffic than the CRBA-style path, which measurement showed to be
+compute-bound on TPU (flat ~0.35M steps/s across batch sizes).
+
+Formulation: Featherstone RBDA Table 7.1, body-local coordinates, spatial
+vectors [angular; linear]; body i's frame sits at its joint anchor.
+
+Implicit contact damping: the engine's stabilization ``M' = M + dt·JᵀDJ``
+maps exactly onto ABA by adding the spatial damper of each active contact
+(offset r, world damping D rotated into body coords)
+
+    Ds = [[rˣ D rˣᵀ, rˣ D], [−D rˣ, D]]        (symmetric PSD)
+
+times dt to the contacting body's articulated inertia before the backward
+sweep, and the explicit force part ``f_el − D v_point`` to its bias force.
+The two engines therefore solve the same linear system and produce identical
+accelerations (verified in tests/test_aba.py).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..terrain.heightfield import TerrainData
+from ..utils.math import quat_to_matrix, skew
+from .contact import sphere_terrain_contact
+from .model import RobotModel
+
+
+def _cross_motion(v, u):
+    w, l = v[:3], v[3:]
+    return jnp.concatenate([jnp.cross(w, u[:3]),
+                            jnp.cross(w, u[3:]) + jnp.cross(l, u[:3])])
+
+
+def _cross_force(v, f):
+    w, l = v[:3], v[3:]
+    return jnp.concatenate([jnp.cross(w, f[:3]) + jnp.cross(l, f[3:]),
+                            jnp.cross(w, f[3:])])
+
+
+def _xmot(E, r, v):
+    """Motion transform parent→child coords (child origin at r, rotation E)."""
+    return jnp.concatenate([E @ v[:3], E @ (v[3:] - jnp.cross(r, v[:3]))])
+
+
+def _xforce_T(E, r, f):
+    """Force transform child→parent coords (Xᵀ f)."""
+    n = E.T @ f[:3]
+    fl = E.T @ f[3:]
+    return jnp.concatenate([n + jnp.cross(r, fl), fl])
+
+
+def _xia_T(E, r, IA):
+    """Articulated-inertia transform child→parent coords: Xᵀ IA X."""
+    X = jnp.block([[E, jnp.zeros((3, 3))], [-E @ skew(r), E]])
+    return X.T @ IA @ X
+
+
+def _spatial_inertia(model: RobotModel, i: int, mass):
+    m = mass[i]
+    cx = skew(model.com[i])
+    return jnp.block([
+        [model.inertia[i] + m * (cx @ cx.T), m * cx],
+        [m * cx.T, m * jnp.eye(3)],
+    ])
+
+
+def aba_physics_step(model: RobotModel, terrain: TerrainData, sp, state,
+                     joint_torque: jnp.ndarray, env_params):
+    """Single-env ABA step: same signature/returns as engine.physics_step."""
+    from .dynamics import _joint_rot, integrate
+    from .engine import PhysState, StepReport
+
+    nb, nj = model.nb, model.nj
+    mass = model.mass.at[0].add(env_params.base_mass_delta)
+    prismatic = [t == "prismatic" for t in model.joint_types]
+
+    # ---------------- pass 1: kinematics + velocities ----------------
+    R_w = [None] * nb
+    p_w = [None] * nb
+    Xup_E = [None] * nb
+    Xup_r = [None] * nb
+    S = [None] * nb
+    v = [None] * nb
+    c_bias = [None] * nb
+
+    R0 = quat_to_matrix(state.base_quat)
+    R_w[0] = R0
+    p_w[0] = state.base_pos
+    w_b = R0.T @ state.base_ang_vel
+    v_b = R0.T @ state.base_lin_vel
+    v[0] = jnp.concatenate([w_b, v_b])
+
+    for i in range(1, nb):
+        par = model.parent[i]
+        th = state.joint_pos[i - 1]
+        thd = state.joint_vel[i - 1]
+        if prismatic[i - 1]:
+            Ej = model.joint_origin_rot[i]
+            r = model.joint_origin_pos[i] + (Ej @ model.joint_axis[i]) * th
+            S[i] = jnp.concatenate([jnp.zeros(3), model.joint_axis[i]])
+        else:
+            Ej = model.joint_origin_rot[i] @ _joint_rot(model.joint_axis[i], th)
+            r = model.joint_origin_pos[i]
+            S[i] = jnp.concatenate([model.joint_axis[i], jnp.zeros(3)])
+        Ec = Ej.T
+        Xup_E[i] = Ec
+        Xup_r[i] = r
+        R_w[i] = R_w[par] @ Ej
+        p_w[i] = p_w[par] + R_w[par] @ r
+        vJ = S[i] * thd
+        v[i] = _xmot(Ec, r, v[par]) + vJ
+        c_bias[i] = _cross_motion(v[i], vJ)
+
+    # ---------------- contacts (world-frame geometry) ----------------
+    gb = model.geom_body_static
+    g_pos = jnp.stack([p_w[gb[g]] + R_w[gb[g]] @ model.geom_offset[g]
+                       for g in range(len(gb))])
+    # point velocity = v_origin + ω × offset (body coords) rotated to world
+    g_vel = jnp.stack([
+        R_w[gb[g]] @ (v[gb[g]][3:] + jnp.cross(v[gb[g]][:3], model.geom_offset[g]))
+        for g in range(len(gb))])
+    cp = sp.contact.replace(mu=sp.contact.mu * terrain.friction * env_params.friction_scale)
+    contact = sphere_terrain_contact(terrain, cp, g_pos, g_vel, model.geom_radius)
+    f_expl = contact.f_el - contact.apply_D(g_vel)      # [ng, 3] world
+
+    # ---------------- pass 2: articulated inertias + bias forces ----------------
+    IA = [ _spatial_inertia(model, i, mass) for i in range(nb) ]
+    pA = [ _cross_force(v[i], IA[i] @ v[i]) for i in range(nb) ]
+
+    for g in range(len(gb)):
+        b = gb[g]
+        Rb = R_w[b]
+        r_b = model.geom_offset[g]
+        f_b = Rb.T @ f_expl[g]
+        pA[b] = pA[b] - jnp.concatenate([jnp.cross(r_b, f_b), f_b])
+        n_b = Rb.T @ contact.n[g]
+        Db = contact.kt[g] * jnp.eye(3) + contact.kd_minus_kt[g] * jnp.outer(n_b, n_b)
+        rx = skew(r_b)
+        Ds = jnp.block([[rx @ Db @ rx.T, rx @ Db], [-Db @ rx, Db]])
+        IA[b] = IA[b] + sp.dt * Ds
+
+    # implicit joint damping (engine adds dt·joint_damping to M's diagonal)
+    tau = joint_torque - sp.joint_damping * state.joint_vel
+
+    # explicit per-body gravity forces.  (The usual base-acceleration-offset
+    # trick is NOT valid here: it multiplies the *augmented* articulated
+    # inertia, so the implicit contact dampers would feel a spurious dt·D·g
+    # force.  Explicit gravity keeps the damper augmentation exact.)
+    for i in range(nb):
+        f_g = mass[i] * (R_w[i].T @ sp.gravity)
+        pA[i] = pA[i] - jnp.concatenate([jnp.cross(model.com[i], f_g), f_g])
+
+    # ---------------- backward sweep ----------------
+    U = [None] * nb
+    d_inv = [None] * nb
+    u = [None] * nb
+    for i in range(nb - 1, 0, -1):
+        par = model.parent[i]
+        Si = S[i]
+        Ui = IA[i] @ Si
+        di = Si @ Ui + model.armature[i - 1] + sp.dt * sp.joint_damping
+        d_inv[i] = 1.0 / di
+        u[i] = tau[i - 1] - Si @ pA[i]
+        U[i] = Ui
+        Ia = IA[i] - jnp.outer(Ui, Ui) * d_inv[i]
+        pa = pA[i] + Ia @ c_bias[i] + Ui * (u[i] * d_inv[i])
+        IA[par] = IA[par] + _xia_T(Xup_E[i], Xup_r[i], Ia)
+        pA[par] = pA[par] + _xforce_T(Xup_E[i], Xup_r[i], pa)
+
+    # ---------------- base + forward sweep (true accelerations) ----------------
+    if model.fix_base:
+        a_true0 = jnp.zeros(6)
+        base_acc = jnp.zeros(6)
+    else:
+        from ..ops.linalg import cho_solve_unrolled
+
+        IA0 = IA[0] + 1e-6 * jnp.eye(6)
+        a_true0 = cho_solve_unrolled(IA0, -pA[0])
+        # classical world accelerations for the engine's u-layout
+        a_cl = a_true0[3:] + jnp.cross(w_b, v_b)
+        base_acc = jnp.concatenate([R0 @ a_cl, R0 @ a_true0[:3]])
+
+    a = [None] * nb
+    a[0] = a_true0
+    qdd = [None] * max(nj, 1)
+    for i in range(1, nb):
+        par = model.parent[i]
+        a_i = _xmot(Xup_E[i], Xup_r[i], a[par]) + c_bias[i]
+        qdd_i = (u[i] - U[i] @ a_i) * d_inv[i]
+        a[i] = a_i + S[i] * qdd_i
+        qdd[i - 1] = qdd_i
+
+    udot = jnp.concatenate([base_acc,
+                            jnp.stack(qdd[:nj]) if nj else jnp.zeros(0)])
+
+    # ---------------- integrate + report ----------------
+    pos, quat, th_new, vel, om, thd = integrate(
+        state.base_pos, state.base_quat, state.joint_pos,
+        state.base_lin_vel, state.base_ang_vel, state.joint_vel, udot, sp.dt)
+    new_state = PhysState(pos, quat, th_new, vel, om, thd)
+
+    # implicit-consistent force reporting (matches engine.physics_step):
+    # post-step point velocity from the true body accelerations
+    g_vel_new = []
+    for g in range(len(gb)):
+        b = gb[g]
+        r_b = model.geom_offset[g]
+        w_i, vl_i = v[b][:3], v[b][3:]
+        al_cl = a[b][3:] + jnp.cross(w_i, vl_i)
+        a_pt = al_cl + jnp.cross(a[b][:3], r_b) + jnp.cross(w_i, jnp.cross(w_i, r_b))
+        g_vel_new.append(g_vel[g] + sp.dt * (R_w[b] @ a_pt))
+    g_vel_new = jnp.stack(g_vel_new)
+    geom_forces = contact.f_el - contact.apply_D(g_vel_new)
+    geom_forces = geom_forces * (contact.depth > 0.0).astype(geom_forces.dtype)[..., None]
+
+    # foot sites: resolve the static geom indices the same way attach_feet did
+    sites = {}
+    for gi, src in enumerate(model.geom_links):
+        if src in model.foot_names:
+            sites[src] = gi
+    foot_geoms = [sites[n] for n in sorted(sites)]
+    foot_pos = []
+    foot_vel = []
+    for k, g in enumerate(foot_geoms):
+        b = gb[g]
+        off = model.foot_offset[k]
+        foot_pos.append(p_w[b] + R_w[b] @ off)
+        foot_vel.append(R_w[b] @ (v[b][3:] + jnp.cross(v[b][:3], off)))
+    foot_pos = jnp.stack(foot_pos) if foot_pos else jnp.zeros((0, 3))
+    foot_vel = jnp.stack(foot_vel) if foot_vel else jnp.zeros((0, 3))
+
+    report = StepReport(
+        geom_forces=geom_forces,
+        foot_pos=foot_pos,
+        foot_vel=foot_vel,
+        body_pos=jnp.stack(p_w),
+        qdd=udot,
+    )
+    return new_state, report

@@ -36,11 +36,14 @@ class SimParams:
     gravity: jnp.ndarray            # [3]
     contact: ContactParams
     joint_damping: jnp.ndarray      # viscous joint damping added implicitly
+    # 'aba' (O(n) sweeps, ~3x faster on TPU) or 'crba' (dense solve; oracle)
+    solver: str = struct.field(pytree_node=False, default="aba")
 
 
 def default_sim_params(dt: float = 0.005, gravity=(-0.0, 0.0, -9.81),
                        contact: ContactParams | None = None,
-                       joint_damping: float = 0.0) -> SimParams:
+                       joint_damping: float = 0.0,
+                       solver: str = "aba") -> SimParams:
     from .contact import default_contact_params
 
     return SimParams(
@@ -48,6 +51,7 @@ def default_sim_params(dt: float = 0.005, gravity=(-0.0, 0.0, -9.81),
         gravity=jnp.asarray(gravity, jnp.float32),
         contact=contact if contact is not None else default_contact_params(),
         joint_damping=jnp.asarray(joint_damping, jnp.float32),
+        solver=solver,
     )
 
 
@@ -112,6 +116,10 @@ def physics_step(
     which is far too coarse for mass-matrix assembly / Cholesky; the policy
     networks outside the engine keep the fast default."""
     with jax.default_matmul_precision("float32"):
+        if sp.solver == "aba":
+            from .aba import aba_physics_step
+
+            return aba_physics_step(model, terrain, sp, state, joint_torque, env_params)
         return _physics_step_f32(model, terrain, sp, state, joint_torque, env_params)
 
 

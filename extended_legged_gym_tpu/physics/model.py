@@ -42,6 +42,7 @@ class RobotModel:
     joint_types: Tuple[str, ...] = struct.field(pytree_node=False)  # 'revolute'/'prismatic' per joint
     fix_base: bool = struct.field(pytree_node=False)
     geom_links: Tuple[str, ...] = struct.field(pytree_node=False)   # source URDF link per geom
+    geom_body_static: Tuple[int, ...] = struct.field(pytree_node=False)  # geom→body (static copy for unrolled sweeps)
     foot_names: Tuple[str, ...] = struct.field(pytree_node=False)
 
     # --- kinematics ---

@@ -44,6 +44,7 @@ def model_from_json(text: str) -> RobotModel:
     for f in _ARRAY_FIELDS:
         dtype = jnp.int32 if f in _INT_FIELDS else jnp.float32
         kwargs[f] = jnp.asarray(np.array(d[f]), dtype=dtype)
+    kwargs["geom_body_static"] = tuple(int(x) for x in d["geom_body"])
     # empty-array shape fixes
     if kwargs["foot_offset"].size == 0:
         kwargs["foot_offset"] = jnp.zeros((0, 3), jnp.float32)

@@ -293,6 +293,7 @@ def load_urdf(
         joint_types=tuple("prismatic" if j.jtype == "prismatic" else "revolute" for j in joint_list[1:]),
         fix_base=bool(fix_base),
         geom_links=tuple(geom_links),
+        geom_body_static=tuple(int(b) for b in geom_body),
         foot_names=(),
         joint_origin_rot=f32(joint_origin_rot),
         joint_origin_pos=f32(joint_origin_pos),
