@@ -30,6 +30,9 @@ class TerrainData:
     # static: lets contact/raycast skip the ceiling gathers entirely for
     # open-sky terrains (half the terrain reads in the contact hot path)
     has_ceiling: bool = struct.field(pytree_node=False, default=False)
+    # static: constant-height terrain — contact/raycast sampling becomes pure
+    # elementwise math (no gathers); measured 55% of the physics step on TPU
+    is_flat: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -46,6 +49,7 @@ def flat_terrain(size: float = 20.0, hscale: float = 0.5, friction: float = 1.0,
 def from_numpy(height: np.ndarray, hscale: float, origin=(0.0, 0.0), friction: float = 1.0,
                ceiling: np.ndarray | None = None) -> TerrainData:
     has_ceiling = ceiling is not None and bool((np.asarray(ceiling) < 1e5).any())
+    is_flat = bool(np.ptp(np.asarray(height)) < 1e-9)
     if ceiling is None:
         ceiling = np.full_like(height, 1e6)
     return TerrainData(
@@ -55,6 +59,7 @@ def from_numpy(height: np.ndarray, hscale: float, origin=(0.0, 0.0), friction: f
         friction=jnp.asarray(friction, dtype=jnp.float32),
         ceiling=jnp.asarray(ceiling, dtype=jnp.float32),
         has_ceiling=has_ceiling,
+        is_flat=is_flat,
     )
 
 
@@ -97,6 +102,8 @@ def _bilinear(grid: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarra
 
 def sample_height(terrain: TerrainData, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear ground height at world xy positions [..., 2] → [...]."""
+    if terrain.is_flat:
+        return jnp.broadcast_to(terrain.height[0, 0], xy.shape[:-1])
     gx, gy = _grid_coords(terrain, xy)
     return _bilinear(terrain.height, gx, gy)
 
@@ -111,7 +118,12 @@ def sample_ceiling(terrain: TerrainData, xy: jnp.ndarray) -> jnp.ndarray:
 def sample_height_and_normal(terrain: TerrainData, xy: jnp.ndarray):
     """Fused height + surface normal from ONE 4-corner gather: the normal is
     the analytic gradient of the bilinear patch (piecewise per cell) — the
-    contact path's only terrain reads."""
+    contact path's only terrain reads.  Constant-height terrains skip the
+    reads entirely (static fast path)."""
+    if terrain.is_flat:
+        h = jnp.broadcast_to(terrain.height[0, 0], xy.shape[:-1])
+        n = jnp.zeros(xy.shape[:-1] + (3,)).at[..., 2].set(1.0)
+        return h, n
     gx, gy = _grid_coords(terrain, xy)
     h00, h10, h01, h11, fx, fy = _corners(terrain.height, gx, gy)
     h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
