@@ -26,7 +26,7 @@ def main():
     from extended_legged_gym_tpu.envs.batch_rollout import RobotTrajGradSampling
     from extended_legged_gym_tpu.robots.anymal_c_traj import anymal_c_traj_sampling_cfg
 
-    E, S, H = 4, 128, 64
+    E, S, H = 16, 128, 64
     cfg = anymal_c_traj_sampling_cfg(num_main_envs=E)
     cfg.trajectory_opt.num_samples = S - 1
     cfg.trajectory_opt.horizon_samples = H

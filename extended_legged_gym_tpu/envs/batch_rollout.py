@@ -258,6 +258,50 @@ class RobotTrajGradSampling(RobotBatchRollout):
         self.traj_sampler = TrajGradSampling(self.traj_opt_cfg, self.num_envs,
                                              self.num_actions)
 
+    # ---- RL warm-start (reference robot_traj_grad_sampling.py:62-123) ----
+
+    def setup_rl_warmstart(self, checkpoint: Optional[str] = None):
+        """Load the warm-start policy (rsl_rl .pt or this framework's .pkl)
+        per cfg.rl_warmstart (reference init_rl_policy)."""
+        ws = self.cfg.rl_warmstart
+        path = checkpoint or ws.policy_checkpoint
+        if path.endswith(".pt"):
+            from ..rl.torch_compat import load_reference_policy
+
+            _, _, self.rl_policy = load_reference_policy(
+                path, self.num_obs, self.num_actions,
+                hidden_dims=tuple(ws.actor_hidden_dims), activation=ws.activation)
+        else:
+            import pickle
+
+            from ..models.networks import ActorCritic
+
+            net = ActorCritic(num_actions=self.num_actions,
+                              actor_hidden_dims=tuple(ws.actor_hidden_dims),
+                              critic_hidden_dims=tuple(ws.critic_hidden_dims),
+                              activation=ws.activation)
+            with open(path, "rb") as f:
+                params = pickle.load(f)["params"]
+            self.rl_policy = lambda obs: net.apply(params, obs, method=net.act_inference)
+        return self.rl_policy
+
+    def init_trajectories_from_rl(self, state: EnvState) -> jnp.ndarray:
+        """Seed node trajectories by rolling the warm-start policy through
+        virtual rollouts from the current main state (reference
+        _init_trajectories_from_rl :78-123)."""
+        assert getattr(self, "rl_policy", None) is not None, "call setup_rl_warmstart first"
+        H1 = self.traj_opt_cfg.horizon_samples + 1
+        rs0 = self.main_to_rollout(state)
+
+        def scan_fn(rs, _):
+            obs = self._compute_observations(rs, noise_key=None)
+            actions = self.rl_policy(obs)
+            rs, _ = self.rollout_step(rs, actions, state.env_params)
+            return rs, actions
+
+        _, acts = jax.lax.scan(scan_fn, rs0, None, length=H1)
+        return self.u2node_batch(jnp.moveaxis(acts, 0, 1))   # [E, H1, A] → nodes
+
     # ---- the reference API surface (robot_traj_grad_sampling.py:148-280) ----
 
     def node2u_batch(self, nodes):
@@ -284,11 +328,17 @@ class RobotTrajGradSampling(RobotBatchRollout):
     def mpc_step(self, state: EnvState, nodes: jnp.ndarray, key: jnp.ndarray,
                  n_diffuse: Optional[int] = None):
         """One full MPC cycle: optimize → execute first action → shift
-        (reference step() :347-361 combined with the §3.2 call stack)."""
+        (reference step() :347-361 combined with the §3.2 call stack).
+        With rl_warmstart.use_for_append, the shift tail comes from the
+        warm-start policy on the post-step observations (reference
+        shift_nodetraj_batch policy-append, :172-208)."""
         k_opt, _ = jax.random.split(key)
         nodes, info = self.optimize_all_trajectories(state, nodes, k_opt,
                                                      n_diffuse=n_diffuse)
         action = self.node2u_batch(nodes)[:, 0]
         state = self.step(state, action)
-        nodes = self.shift_trajectory_batch(nodes)
+        append = None
+        if getattr(self, "rl_policy", None) is not None and self.cfg.rl_warmstart.use_for_append:
+            append = self.rl_policy(state.obs)
+        nodes = self.shift_trajectory_batch(nodes, append_action=append)
         return state, nodes, info

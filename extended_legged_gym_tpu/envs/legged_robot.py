@@ -72,6 +72,10 @@ class EnvState:
     # derived, cached for obs/reward parity
     base_lin_vel: jnp.ndarray        # [B, 3] body frame
     base_ang_vel: jnp.ndarray        # [B, 3] body frame
+    # EMA-filtered base accelerations (ref legged_robot.py:126-133 acc_ema)
+    base_lin_acc: jnp.ndarray        # [B, 3] body frame
+    base_ang_acc: jnp.ndarray        # [B, 3] body frame
+    last_root_vel: jnp.ndarray       # [B, 6] world lin+ang
     projected_gravity: jnp.ndarray   # [B, 3]
     foot_positions: jnp.ndarray      # [B, nf, 3]
     foot_velocities: jnp.ndarray     # [B, nf, 3]
@@ -102,6 +106,8 @@ class EnvState:
 class LeggedRobot:
     """Static env object: holds config/model/terrain and provides pure
     ``reset_all`` / ``step`` functions."""
+
+    acc_ema = 0.9  # base-acceleration EMA factor (ref legged_robot.py:85)
 
     def __init__(self, cfg: LeggedRobotCfg, model: Optional[RobotModel] = None,
                  terrain: Optional[TerrainData] = None):
@@ -353,6 +359,9 @@ class LeggedRobot:
                              if self.actuator_net is not None else None),
             base_lin_vel=jnp.zeros((B, 3)),
             base_ang_vel=jnp.zeros((B, 3)),
+            base_lin_acc=jnp.zeros((B, 3)),
+            base_ang_acc=jnp.zeros((B, 3)),
+            last_root_vel=jnp.zeros((B, 6)),
             projected_gravity=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (B, 1)),
             foot_positions=jnp.zeros((B, self.num_feet, 3)),
             foot_velocities=jnp.zeros((B, self.num_feet, 3)),
@@ -522,7 +531,15 @@ class LeggedRobot:
         key = state.key
         key, k_cmd, k_push, k_reset, k_cmd2, k_noise = jax.random.split(key, 6)
 
+        # EMA base accelerations from velocity deltas (ref :126-133)
+        dv = (state.phys.base_lin_vel - state.last_root_vel[:, :3]) / self.dt
+        dw = (state.phys.base_ang_vel - state.last_root_vel[:, 3:]) / self.dt
+        from ..utils.math import quat_rotate_inverse as _qri
         state = state.replace(
+            base_lin_acc=state.base_lin_acc * self.acc_ema
+            + (1 - self.acc_ema) * _qri(state.phys.base_quat, dv),
+            base_ang_acc=state.base_ang_acc * self.acc_ema
+            + (1 - self.acc_ema) * _qri(state.phys.base_quat, dw),
             episode_length=state.episode_length + 1,
             common_step=state.common_step + 1,
         )
@@ -575,7 +592,10 @@ class LeggedRobot:
             state, noise_key=k_noise if cfg.noise.add_noise else None)
         clip_obs = cfg.normalization.clip_observations
         obs = jnp.clip(obs, -clip_obs, clip_obs)
-        state = state.replace(obs=obs, key=key)
+        state = state.replace(
+            obs=obs, key=key,
+            last_root_vel=jnp.concatenate(
+                [state.phys.base_lin_vel, state.phys.base_ang_vel], axis=-1))
         if self.num_privileged_obs:
             state = state.replace(privileged_obs=jnp.clip(
                 self._compute_privileged_observations(state), -clip_obs, clip_obs))

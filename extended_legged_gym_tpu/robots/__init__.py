@@ -91,3 +91,17 @@ task_registry.register("anymal_c_plan_grad_sampling", RobotPlanGradSampling,
                        _anymal_c_plan_cfg, None)
 task_registry.register("anymal_c_percept", RobotBatchRolloutPercept,
                        _anymal_c_percept_cfg, None)
+
+# --- ANYmal-C task variants (reference anymal.py LoadAdapt/Pose/Stand/Student) ---
+from . import anymal_c_variants as _acv
+
+task_registry.register("load_adapt_anymal_c", _acv.LoadAdaptAnymal,
+                       _acv.load_adapt_anymal_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("load_adapt_anymal_c"))
+task_registry.register("pose_anymal_c", _acv.PoseAnymal, _acv.pose_anymal_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("pose_anymal_c"))
+task_registry.register("stand_anymal_c", _acv.StandAnymal, _acv.stand_anymal_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("stand_anymal_c"))
+task_registry.register("anymal_c_student", _acv.AnymalStudent,
+                       _acv.anymal_c_student_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("anymal_c_student"))

@@ -1,0 +1,64 @@
+"""RL warm-start for the sampling MPC, including the reference torch
+checkpoint interop (reference robot_traj_grad_sampling.py:62-123 +
+rl_warmstart config)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extended_legged_gym_tpu.envs.batch_rollout import RobotTrajGradSampling
+from extended_legged_gym_tpu.robots.anymal_c_traj import anymal_c_traj_sampling_cfg
+
+REF_CKPT = "/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+def test_warmstart_from_reference_checkpoint():
+    cfg = anymal_c_traj_sampling_cfg(num_main_envs=2)
+    cfg.trajectory_opt.num_samples = 7
+    cfg.trajectory_opt.horizon_samples = 8
+    cfg.rl_warmstart.enable = True
+    cfg.rl_warmstart.policy_checkpoint = REF_CKPT
+    env = RobotTrajGradSampling(cfg)
+    env.setup_rl_warmstart()
+    s = env.reset_all(jax.random.PRNGKey(0))
+    nodes = jax.jit(env.init_trajectories_from_rl)(s)
+    assert nodes.shape == (2, 5, 12)
+    assert bool(jnp.all(jnp.isfinite(nodes)))
+    # warm-started nodes are nontrivial (policy produces varied actions)
+    assert float(jnp.abs(nodes).max()) > 0.05
+    # mpc_step with policy append runs
+    s2, nodes2, info = jax.jit(
+        lambda s, n, k: env.mpc_step(s, n, k, n_diffuse=1))(s, nodes, jax.random.PRNGKey(1))
+    assert bool(jnp.all(jnp.isfinite(nodes2)))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+def test_reference_policy_behavior_parity():
+    """The reference's trained walking policy must keep the robot upright in
+    OUR physics (cross-sim behavior transfer — BASELINE.json config 1 spirit)."""
+    from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+    from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
+    from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
+
+    _, _, policy = load_reference_policy(REF_CKPT, 48, 12)
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = 4
+    cfg.noise.add_noise = False
+    cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_friction = False
+    cfg.domain_rand.randomize_base_mass = False
+    env = LeggedRobot(cfg)
+    s = env.reset_all(jax.random.PRNGKey(0))
+    cmd = jnp.zeros_like(s.commands).at[:, 0].set(0.5)
+    step = jax.jit(env.step)
+    pol = jax.jit(policy)
+    vx = []
+    for _ in range(100):
+        s = step(s.replace(commands=cmd), pol(s.obs))
+        vx.append(float(s.base_lin_vel[:, 0].mean()))
+    # upright, moving forward, no terminations at the end
+    assert (np.asarray(s.phys.base_pos[:, 2]) > 0.35).all()
+    assert np.mean(vx[-30:]) > 0.15
