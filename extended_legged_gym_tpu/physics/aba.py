@@ -135,17 +135,29 @@ def aba_physics_step(model: RobotModel, terrain: TerrainData, sp, state,
     IA = [ _spatial_inertia(model, i, mass) for i in range(nb) ]
     pA = [ _cross_force(v[i], IA[i] @ v[i]) for i in range(nb) ]
 
-    for g in range(len(gb)):
-        b = gb[g]
-        Rb = R_w[b]
-        r_b = model.geom_offset[g]
-        f_b = Rb.T @ f_expl[g]
-        pA[b] = pA[b] - jnp.concatenate([jnp.cross(r_b, f_b), f_b])
-        n_b = Rb.T @ contact.n[g]
-        Db = contact.kt[g] * jnp.eye(3) + contact.kd_minus_kt[g] * jnp.outer(n_b, n_b)
-        rx = skew(r_b)
-        Ds = jnp.block([[rx @ Db @ rx.T, rx @ Db], [-Db @ rx, Db]])
-        IA[b] = IA[b] + sp.dt * Ds
+    # contact contributions, vectorized over geoms then segment-summed per
+    # body (a python loop here doubles the whole step's equation count)
+    ng = len(gb)
+    gb_arr = jnp.asarray(gb)
+    R_geoms = jnp.stack([R_w[b] for b in gb])                   # [ng, 3, 3]
+    r_b = model.geom_offset                                      # [ng, 3]
+    f_b = jnp.einsum("gji,gj->gi", R_geoms, f_expl)              # Rᵀ f
+    F_sp = jnp.concatenate([jnp.cross(r_b, f_b), f_b], axis=-1)  # [ng, 6]
+    n_b = jnp.einsum("gji,gj->gi", R_geoms, contact.n)
+    eye3 = jnp.eye(3)
+    Db = (contact.kt[:, None, None] * eye3
+          + contact.kd_minus_kt[:, None, None] * n_b[:, :, None] * n_b[:, None, :])
+    rx = skew(r_b)                                               # [ng, 3, 3]
+    rxD = jnp.einsum("gij,gjk->gik", rx, Db)
+    Ds = jnp.concatenate([
+        jnp.concatenate([jnp.einsum("gij,gkj->gik", rxD, rx), rxD], axis=-1),
+        jnp.concatenate([jnp.swapaxes(rxD, 1, 2), Db], axis=-1),  # (rxD)ᵀ = −D rx
+    ], axis=-2)                                                  # [ng, 6, 6]
+    F_body = jax.ops.segment_sum(F_sp, gb_arr, num_segments=nb)
+    Ds_body = jax.ops.segment_sum(Ds, gb_arr, num_segments=nb)
+    for i in range(nb):
+        pA[i] = pA[i] - F_body[i]
+        IA[i] = IA[i] + sp.dt * Ds_body[i]
 
     # implicit joint damping (engine adds dt·joint_damping to M's diagonal)
     tau = joint_torque - sp.joint_damping * state.joint_vel

@@ -105,3 +105,7 @@ task_registry.register("stand_anymal_c", _acv.StandAnymal, _acv.stand_anymal_cfg
 task_registry.register("anymal_c_student", _acv.AnymalStudent,
                        _acv.anymal_c_student_cfg,
                        lambda: anymal_c.anymal_c_ppo_cfg("anymal_c_student"))
+
+task_registry.register("foot_track_elspider_air_flat", elspider_air.FootTrackElSpider,
+                       elspider_air.foot_track_elspider_air_flat_cfg,
+                       elspider_air.elspider_air_ppo_cfg)

@@ -104,3 +104,53 @@ def elspider_air_ppo_cfg() -> LeggedRobotCfgPPO:
     t.runner.experiment_name = "flat_elspider_air"
     t.runner.multi_stage_rewards = True
     return t
+
+
+class FootTrackElSpider(ElSpider):
+    """Raibert-planner foot tracking (ref elspider.py:647-668 FootTrackElSpider:
+    rewards track planner-generated base/foothold references)."""
+
+    def __init__(self, cfg, **kw):
+        super().__init__(cfg, **kw)
+        from ..utils.raibert_planner import RaibertPlanner, RaibertPlannerCfg
+
+        pcfg = RaibertPlannerCfg()
+        # hip layout in MODEL foot order (alphabetical: LB, LF, LM, RB, RF, RM)
+        pcfg.hip_offsets = [[-0.3, 0.25], [0.3, 0.25], [0.0, 0.28],
+                            [-0.3, -0.25], [0.3, -0.25], [0.0, -0.28]]
+        # tripod groups: (LB, LF, RM) vs (LM, RB, RF)
+        pcfg.foot_phases = [0.0, 0.0, 0.5, 0.5, 0.5, 0.0]
+        pcfg.base_height = cfg.rewards.base_height_target
+        self.planner = RaibertPlanner(pcfg)
+
+    def _refs(self, s):
+        t = s.episode_length.astype(jnp.float32) * self.dt
+        return self.planner.references(s.phys.base_pos, s.phys.base_quat,
+                                       s.phys.base_lin_vel, s.commands, t)
+
+    def _reward_raibert_base_pos_track(self, s, ctx):
+        return self.planner.reward_base_pos_track(self._refs(s), s.phys.base_pos)
+
+    def _reward_raibert_foot_pos_track(self, s, ctx):
+        return self.planner.reward_foot_pos_track(self._refs(s), s.foot_positions)
+
+    def _reward_raibert_foot_pos_track_z(self, s, ctx):
+        return self.planner.reward_foot_pos_track_z(self._refs(s), s.foot_positions)
+
+    def _reward_raibert_foot_swing_contact(self, s, ctx):
+        contacts = s.geom_forces[:, self.feet_geoms, 2] > 1.0
+        return self.planner.reward_foot_swing_contact(self._refs(s), contacts)
+
+
+def foot_track_elspider_air_flat_cfg() -> LeggedRobotCfg:
+    """ref flat/foot_track_elspider_air_flat_config.py"""
+    cfg = elspider_air_flat_cfg()
+    cfg.rewards.multi_stage_rewards = False
+    sc = cfg.rewards.scales
+    sc.feet_slip = -0.1
+    sc.gait_2_step = 0.0
+    sc.raibert_base_pos_track = 0.5
+    sc.raibert_foot_pos_track = 1.0
+    sc.raibert_foot_pos_track_z = 1.0
+    sc.raibert_foot_swing_contact = 0.3
+    return cfg
