@@ -85,6 +85,19 @@ def compute_gae(rewards, dones, values, last_value, gamma, lam, timeouts=None):
     return advantages, returns
 
 
+def make_mirror_fns(perm, signs):
+    """Build a mirroring fn from an index permutation + sign flips — the
+    usual left-right symmetry spec for legged robots (reference
+    symmetry_cfg, ppo.py:337-370 / config/dummy_config.yaml)."""
+    perm = jnp.asarray(perm, jnp.int32)
+    signs = jnp.asarray(signs, jnp.float32)
+
+    def mirror(x):
+        return x[..., perm] * signs
+
+    return mirror
+
+
 def ppo_update(
     network,
     cfg: PPOConfig,
@@ -95,6 +108,7 @@ def ppo_update(
     key: jnp.ndarray,
     optimizer,
     axis_name: Optional[str] = None,
+    symmetry=None,                # (mirror_obs_fn, mirror_act_fn, coef)
 ) -> Tuple[PPOState, Dict[str, jnp.ndarray]]:
     """Full PPO update: epochs × shuffled minibatches (reference ppo.py:197-442)."""
     T, B = advantages.shape
@@ -140,6 +154,18 @@ def ppo_update(
 
         entropy = gaussian_entropy(std).mean()
         total = surrogate_loss + cfg.value_loss_coef * v_loss - cfg.entropy_coef * entropy
+
+        # symmetry-augmentation loss (reference ppo.py:337-370): mirrored
+        # observations must produce mirrored mean actions
+        if symmetry is not None:
+            mirror_obs, mirror_act, sym_coef = symmetry
+            m_mean, _, _ = network.apply(params, mirror_obs(mb["obs"]),
+                                         mirror_obs(mb["critic_obs"])
+                                         if mb["critic_obs"].shape == mb["obs"].shape
+                                         else mb["critic_obs"])
+            sym_loss = jnp.mean(jnp.square(
+                m_mean - mirror_act(jax.lax.stop_gradient(mean))))
+            total = total + sym_coef * sym_loss
 
         # KL(old ‖ new) for the adaptive schedule (ppo.py:283-292)
         std_b = jnp.broadcast_to(std, mb["sigma"].shape)

@@ -35,6 +35,8 @@ class TrainState:
     obs_norm: Optional[RunningNorm]
     key: jnp.ndarray
     iteration: jnp.ndarray
+    rnd: Optional[object] = None     # RNDState when RND is enabled
+    rnd_opt_state: Optional[object] = None
 
 
 class OnPolicyRunner:
@@ -71,6 +73,36 @@ class OnPolicyRunner:
         self.num_steps_per_env = train_cfg.runner.num_steps_per_env
         self.empirical_normalization = train_cfg.runner.empirical_normalization
 
+        # symmetry augmentation (reference ppo.py:337-370), enabled via
+        # train_cfg.algorithm.symmetry_cfg with obs/act index-perm + signs
+        self.symmetry = None
+        sym_cfg = getattr(alg, "symmetry_cfg", None)
+        if sym_cfg:
+            from .ppo import make_mirror_fns
+
+            self.symmetry = (
+                make_mirror_fns(sym_cfg["obs_perm"], sym_cfg["obs_signs"]),
+                make_mirror_fns(sym_cfg["act_perm"], sym_cfg["act_signs"]),
+                sym_cfg.get("coef", 0.5),
+            )
+
+        # RND intrinsic rewards (reference ppo.py rnd path + modules/rnd.py),
+        # enabled via train_cfg.algorithm.rnd_cfg = {"weight": ..., ...}
+        self.rnd = None
+        rnd_cfg = getattr(alg, "rnd_cfg", None)
+        if rnd_cfg:
+            from ..models.rnd import RandomNetworkDistillation
+
+            self.rnd = RandomNetworkDistillation(
+                num_states=env.num_obs,
+                num_outputs=rnd_cfg.get("num_outputs", 64),
+                hidden_dims=rnd_cfg.get("hidden_dims", (256, 256)),
+                weight=rnd_cfg.get("weight", 1.0),
+                weight_schedule=rnd_cfg.get("weight_schedule"),
+            )
+            self.rnd_optimizer = __import__("optax").adam(
+                rnd_cfg.get("learning_rate", 1e-3))
+
         key = jax.random.PRNGKey(seed)
         key, k_init, k_env = jax.random.split(key, 3)
         obs_dim = env.num_obs
@@ -84,9 +116,16 @@ class OnPolicyRunner:
         obs_norm = RunningNorm.create(obs_dim) if self.empirical_normalization else None
 
         env_state = env.reset_all(k_env)
+        rnd_state = None
+        rnd_opt_state = None
+        if self.rnd is not None:
+            key, k_rnd = jax.random.split(key)
+            rnd_state = self.rnd.init(k_rnd)
+            rnd_opt_state = self.rnd_optimizer.init(rnd_state.predictor_params)
         self.state = TrainState(env_state=env_state, ppo=ppo_state,
                                 obs_norm=obs_norm, key=key,
-                                iteration=jnp.zeros((), jnp.int32))
+                                iteration=jnp.zeros((), jnp.int32),
+                                rnd=rnd_state, rnd_opt_state=rnd_opt_state)
         self._train_iter = jax.jit(self._train_iteration)
 
     # ------------------------------------------------------------------
@@ -108,7 +147,7 @@ class OnPolicyRunner:
         env_state = ts.env_state.replace(episode_metrics=env.zero_episode_metrics())
 
         def collect_step(carry, k):
-            es = carry
+            es, rnd_state = carry
             obs, critic_obs = self._policy_io(es, ts.obs_norm)
             mean, std, value = network.apply(ts.ppo.params, obs, critic_obs)
             actions = mean + std * jax.random.normal(k, mean.shape)
@@ -116,13 +155,17 @@ class OnPolicyRunner:
             es_next = env.step(es, actions)
             # timeout bootstrap (reference ppo.py:180-183)
             rewards = es_next.rew + cfg.gamma * value * es_next.time_out_buf
+            if self.rnd is not None:
+                intrinsic, rnd_state = self.rnd.intrinsic_reward(rnd_state, es_next.obs)
+                rewards = rewards + intrinsic
             trans = Transition(obs=obs, critic_obs=critic_obs, actions=actions,
                                rewards=rewards, dones=es_next.reset_buf,
                                values=value, log_probs=log_prob, mu=mean, sigma=std)
-            return es_next, trans
+            return (es_next, rnd_state), trans
 
         keys = jax.random.split(k_collect, self.num_steps_per_env)
-        env_state, batch = jax.lax.scan(collect_step, env_state, keys)
+        (env_state, rnd_state), batch = jax.lax.scan(
+            collect_step, (env_state, ts.rnd), keys)
 
         obs_norm = ts.obs_norm
         if obs_norm is not None:
@@ -134,7 +177,23 @@ class OnPolicyRunner:
             batch.rewards, batch.dones, batch.values, last_value, cfg.gamma, cfg.lam)
 
         ppo_state, metrics = ppo_update(
-            network, cfg, ts.ppo, batch, advantages, returns, k_update, self.optimizer)
+            network, cfg, ts.ppo, batch, advantages, returns, k_update,
+            self.optimizer, symmetry=self.symmetry)
+
+        # RND predictor update (reference ppo.py:372-379)
+        rnd_opt_state = ts.rnd_opt_state
+        if self.rnd is not None:
+            import optax
+
+            flat_obs = batch.obs.reshape(-1, batch.obs.shape[-1])
+            loss_fn = lambda p: self.rnd.predictor_loss(p, rnd_state, flat_obs)
+            rnd_loss, grads = jax.value_and_grad(loss_fn)(rnd_state.predictor_params)
+            updates, rnd_opt_state = self.rnd_optimizer.update(
+                grads, rnd_opt_state, rnd_state.predictor_params)
+            rnd_state = rnd_state.replace(
+                predictor_params=optax.apply_updates(rnd_state.predictor_params, updates))
+            metrics = dict(metrics)
+            metrics["rnd_loss"] = rnd_loss
 
         em = env_state.episode_metrics
         n_ep = jnp.maximum(em["count"], 1.0)
@@ -162,7 +221,9 @@ class OnPolicyRunner:
             metrics["reward_stage"] = env_state.reward_stage.astype(jnp.float32)
 
         new_ts = TrainState(env_state=env_state, ppo=ppo_state, obs_norm=obs_norm,
-                            key=key, iteration=ts.iteration + 1)
+                            key=key, iteration=ts.iteration + 1,
+                            rnd=rnd_state if self.rnd is not None else None,
+                            rnd_opt_state=rnd_opt_state)
         return new_ts, metrics
 
     # ------------------------------------------------------------------

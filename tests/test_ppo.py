@@ -87,3 +87,37 @@ def test_running_norm():
     out = rn.normalize(data)
     np.testing.assert_allclose(np.asarray(out.mean(0)), 0.0, atol=0.05)
     np.testing.assert_allclose(np.asarray(out.std(0)), 1.0, atol=0.05)
+
+
+def test_symmetry_augmentation_loss():
+    """Mirrored obs must yield mirrored actions after symmetric training."""
+    from extended_legged_gym_tpu.rl.ppo import make_mirror_fns, ppo_update
+
+    key = jax.random.PRNGKey(0)
+    obs_dim, act_dim = 4, 2
+    net = ActorCritic(num_actions=act_dim, actor_hidden_dims=(16,),
+                      critic_hidden_dims=(16,))
+    params = net.init(key, jnp.zeros((1, obs_dim)), jnp.zeros((1, obs_dim)))
+    cfg = PPOConfig(num_learning_epochs=2, num_mini_batches=2, schedule="fixed",
+                    entropy_coef=0.0)
+    opt = make_optimizer(cfg)
+    state = PPOState(params=params, opt_state=opt.init(params),
+                     learning_rate=jnp.asarray(cfg.learning_rate))
+    mirror_obs = make_mirror_fns([1, 0, 3, 2], [1.0, 1.0, -1.0, -1.0])
+    mirror_act = make_mirror_fns([1, 0], [1.0, 1.0])
+
+    T, B = 4, 32
+    obs = jax.random.normal(key, (T, B, obs_dim))
+    mean, std, value = jax.vmap(lambda o: net.apply(state.params, o, o))(obs)
+    actions = mean
+    from extended_legged_gym_tpu.models.networks import gaussian_log_prob
+    batch = Transition(obs=obs, critic_obs=obs, actions=actions,
+                       rewards=jnp.zeros((T, B)), dones=jnp.ones((T, B), bool),
+                       values=value, log_probs=gaussian_log_prob(mean, std[:, None, :], actions),
+                       mu=mean, sigma=jnp.broadcast_to(std[:, None, :], mean.shape))
+    adv = jnp.ones((T, B))
+    ret = value
+    state2, metrics = ppo_update(net, cfg, state, batch, adv, ret,
+                                 jax.random.PRNGKey(1), opt,
+                                 symmetry=(mirror_obs, mirror_act, 1.0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -58,3 +58,17 @@ def test_save_load_roundtrip(tmp_path):
     assert act.shape == (3, env.num_actions)
     # metrics written
     assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
+
+
+def test_rnd_intrinsic_rewards_in_runner():
+    """RND-enabled training runs and trains the predictor
+    (reference on_policy_runner rnd path)."""
+    env, train = _tiny_setup(num_envs=4, steps=4)
+    train.algorithm.rnd_cfg = {"weight": 0.1, "num_outputs": 16,
+                               "hidden_dims": (32,), "learning_rate": 1e-3}
+    runner = OnPolicyRunner(env, train)
+    assert runner.rnd is not None
+    m1 = runner.learn(2, log_interval=100)
+    assert "rnd_loss" in m1 and np.isfinite(m1["rnd_loss"])
+    m2 = runner.learn(6, log_interval=100)
+    assert np.isfinite(m2["rnd_loss"])

@@ -62,3 +62,28 @@ def test_reference_policy_behavior_parity():
     # upright, moving forward, no terminations at the end
     assert (np.asarray(s.phys.base_pos[:, 2]) > 0.35).all()
     assert np.mean(vx[-30:]) > 0.15
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+def test_distillation_runner_clones_reference_teacher():
+    """End-to-end distillation: student BC-clones the reference teacher while
+    acting in the env (reference Distillation + runner path)."""
+    from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+    from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
+    from extended_legged_gym_tpu.rl.distillation_runner import DistillationRunner
+    from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
+
+    _, _, teacher = load_reference_policy(REF_CKPT, 48, 12)
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = 8
+    cfg.noise.add_noise = False
+    env = LeggedRobot(cfg)
+    runner = DistillationRunner(env, teacher, student_hidden_dims=(64, 32),
+                                num_steps_per_env=8, num_learning_epochs=2)
+    m0 = runner.learn(2, log_interval=100)
+    m1 = runner.learn(15, log_interval=100)
+    assert m1["behavior_loss"] < m0["behavior_loss"], (m0, m1)
+    student = runner.get_student_policy()
+    import jax.numpy as jnp
+    a = student(jnp.zeros((3, 48)))
+    assert a.shape == (3, 12)
