@@ -212,6 +212,22 @@ class LeggedRobot:
         # --- observation noise vector (ref legged_robot.py:533-556) ---
         self.noise_scale_vec = self._make_noise_scale_vec()
 
+        # --- fused Pallas physics path (flat terrains; ops/physics_kernel.py) ---
+        self.pallas_step = None
+        want_pallas = cfg.sim.solver in ("pallas", "pallas_interpret")
+        on_tpu = jax.default_backend() == "tpu"
+        # on CPU the kernel would run in the (slow) interpreter — only do so
+        # when explicitly requested ("pallas_interpret", used by tests)
+        if (want_pallas and self.terrain.is_flat
+                and not cfg.control.use_actuator_network
+                and (on_tpu or cfg.sim.solver == "pallas_interpret")):
+            from ..ops.physics_kernel import make_env_step
+
+            self.pallas_step = make_env_step(
+                self.model, self.sim_params,
+                terrain_height=float(self.terrain.height[0, 0]),
+                interpret=not on_tpu)
+
         # --- actuator network (reference anymal.py:54-105, N5) ---
         self.actuator_net = None
         if cfg.control.use_actuator_network and cfg.control.actuator_net_file:
@@ -460,9 +476,12 @@ class LeggedRobot:
         def substep(carry, _):
             ph, hid = carry
             tau, hid = self._compute_torques(actions, ph, last_dof_vel, hid)
-            ph, rep = jax.vmap(
-                physics_step, in_axes=(None, None, None, 0, 0, 0)
-            )(self.model, self.terrain, self.sim_params, ph, tau, env_params)
+            if self.pallas_step is not None:
+                ph, rep = self.pallas_step(ph, tau, env_params)
+            else:
+                ph, rep = jax.vmap(
+                    physics_step, in_axes=(None, None, None, 0, 0, 0)
+                )(self.model, self.terrain, self.sim_params, ph, tau, env_params)
             return (ph, hid), (tau, rep)
 
         (phys, actuator_hidden), (taus, reps) = jax.lax.scan(

@@ -197,7 +197,7 @@ class SimCfg:
     contact_kd: float = 1.5e3
     contact_kt: float = 1.0e4
     joint_damping: float = 0.0
-    solver: str = "aba"   # 'aba' (fast O(n)) or 'crba' (dense oracle)
+    solver: str = "pallas"  # 'pallas' (fused kernel on flat terrain, ABA fallback) | 'aba' | 'crba'
 
 
 @configclass

@@ -116,7 +116,9 @@ def physics_step(
     which is far too coarse for mass-matrix assembly / Cholesky; the policy
     networks outside the engine keep the fast default."""
     with jax.default_matmul_precision("float32"):
-        if sp.solver == "aba":
+        # "pallas" selects the fused kernel at the env layer (flat terrains);
+        # here it falls back to the ABA path for rough terrain / direct calls
+        if sp.solver in ("aba", "pallas", "pallas_interpret"):
             from .aba import aba_physics_step
 
             return aba_physics_step(model, terrain, sp, state, joint_torque, env_params)
