@@ -137,6 +137,21 @@ class LeggedRobot:
         elif cfg.terrain.mesh_type in ("heightfield", "trimesh"):
             self.terrain_gen = Terrain(cfg.terrain, self.num_envs, seed=cfg.seed)
             self.terrain = self.terrain_gen.to_device(cfg.terrain.static_friction)
+        elif cfg.terrain.mesh_type in ("confined_trimesh", "confined_heightfield"):
+            # two-layer ground+ceiling maps (ref utils/terrain_confine.py)
+            from ..terrain.confined import TerrainConfined
+
+            self.terrain_gen = TerrainConfined(cfg.terrain, self.num_envs,
+                                               seed=cfg.seed)
+            self.terrain = self.terrain_gen.to_device(cfg.terrain.static_friction)
+        elif cfg.terrain.mesh_type == "obj":
+            # OBJ-mesh terrain (ref utils/terrain_obj.py; rasterized to a
+            # two-layer heightfield for TPU-resident queries)
+            from ..terrain.mesh import TerrainObj
+
+            self.terrain = TerrainObj(
+                cfg.terrain.terrain_file,
+                hscale=cfg.terrain.horizontal_scale).to_device()
         else:  # 'plane' / 'none'
             size = max(6.0, 2 * cfg.env.env_spacing) * max(
                 4.0, np.sqrt(self.num_envs) * cfg.env.env_spacing / 3.0)

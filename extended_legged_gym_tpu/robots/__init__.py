@@ -109,3 +109,97 @@ task_registry.register("anymal_c_student", _acv.AnymalStudent,
 task_registry.register("foot_track_elspider_air_flat", elspider_air.FootTrackElSpider,
                        elspider_air.foot_track_elspider_air_flat_cfg,
                        elspider_air.elspider_air_ppo_cfg)
+
+# --- full reference-registry parity (reference envs/__init__.py:117-199) ---
+from . import task_variants as _tv
+from . import cyberdog2_standdance as _c2sd
+
+# Go2 variants
+task_registry.register("pose_go2_flat", _tv.PoseGo2, _tv.pose_go2_flat_cfg,
+                       go2.go2_ppo_cfg)
+task_registry.register("load_adapt_go2_flat", _tv.LoadAdaptGo2,
+                       _tv.load_adapt_go2_flat_cfg, go2.go2_ppo_cfg)
+task_registry.register("stand_go2_flat", _tv.StandGo2, _tv.stand_go2_flat_cfg,
+                       go2.go2_ppo_cfg)
+task_registry.register("go2_batch_rollout", RobotBatchRollout,
+                       _tv.go2_batch_rollout_cfg, go2.go2_ppo_cfg)
+task_registry.register("go2_batch_rollout_flat", RobotBatchRollout,
+                       _tv.go2_batch_rollout_flat_cfg, go2.go2_ppo_cfg)
+task_registry.register("go2_traj_grad_sampling", _tv.Go2TrajGradSampling,
+                       _tv.go2_traj_grad_sampling_cfg, None)
+
+# Cassie
+task_registry.register("cassie_traj_grad_sampling", RobotTrajGradSampling,
+                       _tv.cassie_traj_grad_sampling_cfg, None)
+
+# ANYmal-C batch-rollout / nav / teacher
+task_registry.register("anymal_c_batch_rollout", RobotBatchRollout,
+                       _tv.anymal_c_batch_rollout_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("anymal_c_batch_rollout"))
+task_registry.register("anymal_c_batch_rollout_flat", RobotBatchRollout,
+                       _tv.anymal_c_batch_rollout_flat_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("anymal_c_batch_rollout_flat"))
+task_registry.register("anymal_c_dialmpc_flat", anymal_c_traj.AnymalCTrajGradSampling,
+                       _tv.anymal_c_dialmpc_flat_cfg, None)
+task_registry.register("anymal_c_nav", RobotBatchRolloutNav,
+                       _tv.anymal_c_nav_cfg, None)
+task_registry.register("anymal_c_timberpile_nav", RobotBatchRolloutNav,
+                       _tv.anymal_c_nav_timberpile_cfg, None)
+task_registry.register("anymal_c_rough_teacher", LeggedRobot,
+                       _tv.anymal_c_rough_teacher_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("anymal_c_rough_teacher"))
+task_registry.register("anymal_c_base_pose_adapt", _tv.AnymalCBasePoseAdapt,
+                       _tv.anymal_c_base_pose_adapt_cfg, None)
+task_registry.register("anymal_c_base_pose_ctrl", _tv.AnymalCBasePoseCtrl,
+                       _tv.anymal_c_base_pose_ctrl_cfg, None)
+
+# ElSpider Air batch-rollout family
+task_registry.register("elspider_air_batch_rollout", elspider_air.ElSpider,
+                       _tv.elspider_air_batch_rollout_cfg,
+                       elspider_air.elspider_air_ppo_cfg)
+task_registry.register("elspider_air_batch_rollout_flat", elspider_air.ElSpider,
+                       _tv.elspider_air_batch_rollout_flat_cfg,
+                       elspider_air.elspider_air_ppo_cfg)
+task_registry.register("elspider_air_traj_grad_sampling",
+                       _tv.ElSpiderAirTrajGradSampling,
+                       _tv.elspider_air_traj_grad_sampling_cfg, None)
+task_registry.register("elspider_air_dialmpc", _tv.ElSpiderAirTrajGradSampling,
+                       _tv.elspider_air_dialmpc_cfg, None)
+task_registry.register("elspider_air_dialmpc_flat", _tv.ElSpiderAirTrajGradSampling,
+                       _tv.elspider_air_dialmpc_flat_cfg, None)
+task_registry.register("elspider_air_plan_grad_sampling", RobotPlanGradSampling,
+                       _tv.elspider_air_plan_grad_sampling_cfg, None)
+task_registry.register("elspider_air_rough_raycast", RobotBatchRolloutPercept,
+                       _tv.elspider_air_rough_raycast_cfg,
+                       elspider_air.elspider_air_ppo_cfg)
+task_registry.register("pose_elspider_air_flat", _tv.PoseElSpider,
+                       _tv.pose_elspider_air_flat_cfg,
+                       elspider_air.elspider_air_ppo_cfg)
+task_registry.register("foot_track_elspider_air_hang", elspider_air.FootTrackElSpider,
+                       _tv.foot_track_elspider_air_hang_cfg,
+                       elspider_air.elspider_air_ppo_cfg)
+task_registry.register("elspider_air_nav", RobotBatchRolloutNav,
+                       _tv.elspider_air_nav_cfg, None)
+task_registry.register("elair_barrier_nav", RobotBatchRolloutNav,
+                       _tv.elair_nav_barrier_cfg, None)
+task_registry.register("elair_timberpile_nav", RobotBatchRolloutNav,
+                       _tv.elair_nav_timberpile_cfg, None)
+task_registry.register("el_mini_base_pose_adapt", _tv.ElMiniBasePoseAdapt,
+                       _tv.el_mini_base_pose_adapt_cfg, None)
+task_registry.register("el_mini_base_pose_ctrl", _tv.ElMiniBasePoseCtrl,
+                       _tv.el_mini_base_pose_ctrl_cfg, None)
+
+# CyberDog2 (reference cyber2_stand/hop/bounce/walk, envs/__init__.py:188-191)
+task_registry.register("cyber2_stand", _c2sd.CyberStandDanceEnv,
+                       _c2sd.cyberdog2_standdance_cfg,
+                       _c2sd.cyberdog2_standdance_ppo_cfg)
+task_registry.register("cyber2_walk", LeggedRobot,
+                       cyberdog2.cyberdog2_walk_cfg, cyberdog2.cyberdog2_ppo_cfg)
+task_registry.register("cyber2_hop", LeggedRobot,
+                       cyberdog2.cyberdog2_walk_cfg, cyberdog2.cyberdog2_ppo_cfg)
+task_registry.register("cyber2_bounce", LeggedRobot,
+                       cyberdog2.cyberdog2_walk_cfg, cyberdog2.cyberdog2_ppo_cfg)
+
+# Franka batch rollout
+task_registry.register("franka_batch_rollout", franka.Franka,
+                       _tv.franka_batch_rollout_cfg, franka.franka_ppo_cfg)

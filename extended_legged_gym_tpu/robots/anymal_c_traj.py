@@ -48,9 +48,12 @@ class AnymalCTrajGradSampling(RobotTrajGradSampling):
     (ref anymal_c_traj_grad_sampling.py:148-290)."""
 
     gait = "trot"
+    # reference-order → model-order foot permutation (subclasses override;
+    # Go2's alphabetical order FL, FR, RL, RR is the identity)
+    foot_perm = tuple(_P)
 
     def _gait_tables(self):
-        phases = jnp.asarray([GAIT_PHASES[self.gait][i] for i in _P])
+        phases = jnp.asarray([GAIT_PHASES[self.gait][i] for i in self.foot_perm])
         duty, cadence, amp = GAIT_PARAMS[self.gait]
         return duty, cadence, amp, phases
 
