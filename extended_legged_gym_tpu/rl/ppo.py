@@ -216,3 +216,128 @@ def ppo_update(
     out = dict(loss=m[0], value_loss=m[1], surrogate_loss=m[2], entropy=m[3],
                kl=m[4], learning_rate=lr)
     return PPOState(params=params, opt_state=opt_state, learning_rate=lr), out
+
+
+def ppo_update_recurrent(
+    network,
+    cfg: PPOConfig,
+    ppo_state: PPOState,
+    batch: Transition,            # stacked [T, B, ...]
+    carries0,                     # (carry_a, carry_c) at window start, [B, H]
+    advantages: jnp.ndarray,      # [T, B]
+    returns: jnp.ndarray,         # [T, B]
+    key: jnp.ndarray,
+    optimizer,
+    axis_name: Optional[str] = None,
+) -> Tuple[PPOState, Dict[str, jnp.ndarray]]:
+    """PPO update for recurrent policies.
+
+    The reference replays padded per-episode trajectories through the RNN with
+    hidden-state resets on done (rollout_storage.py:246 recurrent generator +
+    networks/memory.py unpacking).  Here the collected window is already a
+    dense [T, B] tensor, so the natural TPU formulation is truncated BPTT over
+    the window: minibatches split the ENV axis (keeping every sequence whole),
+    each loss replays the T steps from the stored window-start carry with
+    zero-resets where an episode ended mid-window.  Same gradient information,
+    no padding or ragged batching.
+    """
+    T, B = advantages.shape
+    assert B % cfg.num_mini_batches == 0 or B >= cfg.num_mini_batches
+    mb_envs = B // cfg.num_mini_batches
+
+    adv_mean, adv_std = advantages.mean(), advantages.std()
+    if axis_name:
+        adv_mean = jax.lax.pmean(adv_mean, axis_name)
+        adv_std = jax.lax.pmean(adv_std, axis_name)
+    advantages = (advantages - adv_mean) / (adv_std + 1e-8)
+
+    sigma_b = batch.sigma
+    if sigma_b.ndim == 2:  # [T, A] → [T, B, A]
+        sigma_b = jnp.broadcast_to(batch.sigma[:, None, :], batch.mu.shape)
+    data = dict(
+        obs=batch.obs, critic_obs=batch.critic_obs, actions=batch.actions,
+        values=batch.values, log_probs=batch.log_probs, mu=batch.mu,
+        sigma=sigma_b, advantages=advantages, returns=returns,
+        dones=batch.dones.astype(jnp.float32),
+    )
+
+    def loss_fn(params, mb, mb_carries):
+        def rnn_step(carry, step):
+            ca, cc = carry
+            mean, std, value, ca, cc = network.apply(
+                params, step["obs"], ca, cc, step["critic_obs"])
+            # zero the carry where this step ended an episode, so the next
+            # step starts fresh (mirrors the collection-time reset)
+            d = step["dones"][:, None]
+            ca = jax.tree.map(lambda h: h * (1.0 - d), ca)
+            cc = jax.tree.map(lambda h: h * (1.0 - d), cc)
+            return (ca, cc), (mean, std, value)
+
+        (_, _), (mean, std, value) = jax.lax.scan(rnn_step, mb_carries, mb)
+        if std.ndim == mean.ndim - 1:   # state-independent std: [T, A] → [T, 1, A]
+            std = std[:, None, :]
+        log_prob = gaussian_log_prob(mean, std, mb["actions"])
+        ratio = jnp.exp(log_prob - mb["log_probs"])
+        surr1 = -mb["advantages"] * ratio
+        surr2 = -mb["advantages"] * jnp.clip(ratio, 1 - cfg.clip_param,
+                                             1 + cfg.clip_param)
+        surrogate_loss = jnp.maximum(surr1, surr2).mean()
+        if cfg.use_clipped_value_loss:
+            v_clipped = mb["values"] + jnp.clip(
+                value - mb["values"], -cfg.clip_param, cfg.clip_param)
+            v_loss = jnp.maximum(jnp.square(value - mb["returns"]),
+                                 jnp.square(v_clipped - mb["returns"])).mean()
+        else:
+            v_loss = jnp.square(value - mb["returns"]).mean()
+        entropy = gaussian_entropy(std).mean()
+        total = surrogate_loss + cfg.value_loss_coef * v_loss \
+            - cfg.entropy_coef * entropy
+        std_b = jnp.broadcast_to(std, mb["sigma"].shape)
+        kl = jnp.sum(
+            jnp.log(std_b / (mb["sigma"] + 1e-8) + 1e-8)
+            + (jnp.square(mb["sigma"]) + jnp.square(mb["mu"] - mean))
+            / (2.0 * jnp.square(std_b)) - 0.5, axis=-1)
+        aux = dict(value_loss=v_loss, surrogate_loss=surrogate_loss,
+                   entropy=entropy, kl_mean=kl.mean())
+        return total, aux
+
+    def minibatch_step(carry, env_idx):
+        params, opt_state, lr = carry
+        mb = jax.tree.map(lambda x: x[:, env_idx], data)
+        mb_carries = jax.tree.map(lambda c: c[env_idx], carries0)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, mb_carries)
+        kl_mean = aux["kl_mean"]
+        if axis_name:
+            grads = jax.lax.pmean(grads, axis_name)
+            kl_mean = jax.lax.pmean(kl_mean, axis_name)
+        if cfg.schedule == "adaptive":
+            lr = jnp.where(kl_mean > cfg.desired_kl * 2.0,
+                           jnp.maximum(1e-5, lr / 1.5), lr)
+            lr = jnp.where((kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
+                           jnp.minimum(1e-2, lr * 1.5), lr)
+        inject = opt_state[1]
+        inject = inject._replace(hyperparams={**inject.hyperparams,
+                                              "learning_rate": lr})
+        opt_state = (opt_state[0], inject)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = jnp.stack([loss, aux["value_loss"], aux["surrogate_loss"],
+                             aux["entropy"], kl_mean])
+        return (params, opt_state, lr), metrics
+
+    def epoch_step(carry, key_e):
+        perm = jax.random.permutation(key_e, B)
+        idx = perm[: mb_envs * cfg.num_mini_batches].reshape(
+            cfg.num_mini_batches, mb_envs)
+        carry, metrics = jax.lax.scan(minibatch_step, carry, idx)
+        return carry, metrics
+
+    keys = jax.random.split(key, cfg.num_learning_epochs)
+    (params, opt_state, lr), metrics = jax.lax.scan(
+        epoch_step,
+        (ppo_state.params, ppo_state.opt_state, ppo_state.learning_rate), keys)
+    m = metrics.reshape(-1, 5).mean(axis=0)
+    out = dict(loss=m[0], value_loss=m[1], surrogate_loss=m[2], entropy=m[3],
+               kl=m[4], learning_rate=lr)
+    return PPOState(params=params, opt_state=opt_state, learning_rate=lr), out

@@ -37,6 +37,8 @@ class TrainState:
     iteration: jnp.ndarray
     rnd: Optional[object] = None     # RNDState when RND is enabled
     rnd_opt_state: Optional[object] = None
+    # recurrent-policy hidden state (carry_a, carry_c), None for MLP policies
+    carries: Optional[object] = None
 
 
 class OnPolicyRunner:
@@ -49,13 +51,29 @@ class OnPolicyRunner:
         seed = train_cfg.seed if seed is None else seed
 
         pol = train_cfg.policy
-        self.network = ActorCritic(
-            num_actions=env.num_actions,
-            actor_hidden_dims=tuple(pol.actor_hidden_dims),
-            critic_hidden_dims=tuple(pol.critic_hidden_dims),
-            activation=pol.activation,
-            init_noise_std=pol.init_noise_std,
-        )
+        # policy class by name (reference on_policy_runner.py:217-234 resolves
+        # the class with eval(); here the two supported families are explicit)
+        self.recurrent = train_cfg.runner.policy_class_name == "ActorCriticRecurrent"
+        if self.recurrent:
+            from ..models.networks import ActorCriticRecurrent
+
+            self.network = ActorCriticRecurrent(
+                num_actions=env.num_actions,
+                actor_hidden_dims=tuple(pol.actor_hidden_dims),
+                critic_hidden_dims=tuple(pol.critic_hidden_dims),
+                activation=pol.activation,
+                init_noise_std=pol.init_noise_std,
+                rnn_hidden_size=getattr(pol, "rnn_hidden_size", 256),
+                rnn_type=getattr(pol, "rnn_type", "lstm"),
+            )
+        else:
+            self.network = ActorCritic(
+                num_actions=env.num_actions,
+                actor_hidden_dims=tuple(pol.actor_hidden_dims),
+                critic_hidden_dims=tuple(pol.critic_hidden_dims),
+                activation=pol.activation,
+                init_noise_std=pol.init_noise_std,
+            )
         alg = train_cfg.algorithm
         self.ppo_cfg = PPOConfig(
             clip_param=alg.clip_param,
@@ -109,7 +127,16 @@ class OnPolicyRunner:
         critic_dim = env.num_privileged_obs or env.num_obs
         dummy_obs = jnp.zeros((1, obs_dim))
         dummy_cobs = jnp.zeros((1, critic_dim))
-        params = self.network.init(k_init, dummy_obs, dummy_cobs)
+        if self.recurrent:
+            from ..models.networks import rnn_carry
+
+            self._init_carries = lambda B: (
+                rnn_carry(self.network.rnn_type, self.network.rnn_hidden_size, (B,)),
+                rnn_carry(self.network.rnn_type, self.network.rnn_hidden_size, (B,)))
+            ca, cc = self._init_carries(1)
+            params = self.network.init(k_init, dummy_obs, ca, cc, dummy_cobs)
+        else:
+            params = self.network.init(k_init, dummy_obs, dummy_cobs)
         self.optimizer = make_optimizer(self.ppo_cfg)
         ppo_state = PPOState(params=params, opt_state=self.optimizer.init(params),
                              learning_rate=jnp.asarray(alg.learning_rate))
@@ -125,7 +152,9 @@ class OnPolicyRunner:
         self.state = TrainState(env_state=env_state, ppo=ppo_state,
                                 obs_norm=obs_norm, key=key,
                                 iteration=jnp.zeros((), jnp.int32),
-                                rnd=rnd_state, rnd_opt_state=rnd_opt_state)
+                                rnd=rnd_state, rnd_opt_state=rnd_opt_state,
+                                carries=self._init_carries(env.num_envs)
+                                if self.recurrent else None)
         self._train_iter = jax.jit(self._train_iteration)
 
     # ------------------------------------------------------------------
@@ -147,12 +176,21 @@ class OnPolicyRunner:
         env_state = ts.env_state.replace(episode_metrics=env.zero_episode_metrics())
 
         def collect_step(carry, k):
-            es, rnd_state = carry
+            es, rnd_state, carries = carry
             obs, critic_obs = self._policy_io(es, ts.obs_norm)
-            mean, std, value = network.apply(ts.ppo.params, obs, critic_obs)
+            if self.recurrent:
+                ca, cc = carries
+                mean, std, value, ca, cc = network.apply(
+                    ts.ppo.params, obs, ca, cc, critic_obs)
+            else:
+                mean, std, value = network.apply(ts.ppo.params, obs, critic_obs)
             actions = mean + std * jax.random.normal(k, mean.shape)
             log_prob = gaussian_log_prob(mean, std, actions)
             es_next = env.step(es, actions)
+            if self.recurrent:
+                # hidden-state reset on done (reference networks/memory.py:14)
+                d = es_next.reset_buf.astype(jnp.float32)[:, None]
+                carries = jax.tree.map(lambda h: h * (1.0 - d), (ca, cc))
             # timeout bootstrap (reference ppo.py:180-183)
             rewards = es_next.rew + cfg.gamma * value * es_next.time_out_buf
             if self.rnd is not None:
@@ -161,24 +199,36 @@ class OnPolicyRunner:
             trans = Transition(obs=obs, critic_obs=critic_obs, actions=actions,
                                rewards=rewards, dones=es_next.reset_buf,
                                values=value, log_probs=log_prob, mu=mean, sigma=std)
-            return (es_next, rnd_state), trans
+            return (es_next, rnd_state, carries), trans
 
+        carries0 = ts.carries   # window-start hidden state for BPTT replay
         keys = jax.random.split(k_collect, self.num_steps_per_env)
-        (env_state, rnd_state), batch = jax.lax.scan(
-            collect_step, (env_state, ts.rnd), keys)
+        (env_state, rnd_state, carries), batch = jax.lax.scan(
+            collect_step, (env_state, ts.rnd, ts.carries), keys)
 
         obs_norm = ts.obs_norm
         if obs_norm is not None:
             obs_norm = obs_norm.update(batch.obs)
 
         obs, critic_obs = self._policy_io(env_state, ts.obs_norm)
-        _, _, last_value = network.apply(ts.ppo.params, obs, critic_obs)
+        if self.recurrent:
+            _, _, last_value, _, _ = network.apply(
+                ts.ppo.params, obs, carries[0], carries[1], critic_obs)
+        else:
+            _, _, last_value = network.apply(ts.ppo.params, obs, critic_obs)
         advantages, returns = compute_gae(
             batch.rewards, batch.dones, batch.values, last_value, cfg.gamma, cfg.lam)
 
-        ppo_state, metrics = ppo_update(
-            network, cfg, ts.ppo, batch, advantages, returns, k_update,
-            self.optimizer, symmetry=self.symmetry)
+        if self.recurrent:
+            from .ppo import ppo_update_recurrent
+
+            ppo_state, metrics = ppo_update_recurrent(
+                network, cfg, ts.ppo, batch, carries0, advantages, returns,
+                k_update, self.optimizer)
+        else:
+            ppo_state, metrics = ppo_update(
+                network, cfg, ts.ppo, batch, advantages, returns, k_update,
+                self.optimizer, symmetry=self.symmetry)
 
         # RND predictor update (reference ppo.py:372-379)
         rnd_opt_state = ts.rnd_opt_state
@@ -223,7 +273,8 @@ class OnPolicyRunner:
         new_ts = TrainState(env_state=env_state, ppo=ppo_state, obs_norm=obs_norm,
                             key=key, iteration=ts.iteration + 1,
                             rnd=rnd_state if self.rnd is not None else None,
-                            rnd_opt_state=rnd_opt_state)
+                            rnd_opt_state=rnd_opt_state,
+                            carries=carries if self.recurrent else None)
         return new_ts, metrics
 
     # ------------------------------------------------------------------
@@ -287,9 +338,22 @@ class OnPolicyRunner:
         return payload
 
     def get_inference_policy(self):
-        """Deterministic policy fn (reference on_policy_runner.py:717-727)."""
+        """Deterministic policy fn (reference on_policy_runner.py:717-727).
+        For recurrent policies the returned fn is stateful-by-argument:
+        ``policy(obs, carries) -> (actions, carries)``; get the initial
+        carries from ``runner.initial_carries(B)``."""
         params = self.state.ppo.params
         obs_norm = self.state.obs_norm
+
+        if self.recurrent:
+            @jax.jit
+            def policy(obs, carries):
+                o = obs_norm.normalize(obs) if obs_norm is not None else obs
+                mean, _, _, ca, cc = self.network.apply(
+                    params, o, carries[0], carries[1], o)
+                return mean, (ca, cc)
+
+            return policy
 
         @jax.jit
         def policy(obs):
@@ -298,3 +362,7 @@ class OnPolicyRunner:
             return self.network.apply(params, obs, method=self.network.act_inference)
 
         return policy
+
+    def initial_carries(self, batch_size: Optional[int] = None):
+        assert self.recurrent, "carries only exist for recurrent policies"
+        return self._init_carries(batch_size or self.env.num_envs)
