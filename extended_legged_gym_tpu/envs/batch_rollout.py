@@ -55,6 +55,11 @@ class TrajectoryOptCfg:
     gamma: float = 1.0
     interp_method: str = "spline"
     compute_predictions: bool = True
+    # differentiable gradient-polish stage after the diffusion sweep
+    # (BASELINE "QP/Riccati refinement"; no reference equivalent — PhysX is
+    # not differentiable)
+    polish_iters: int = 0
+    polish_lr: float = 0.05
 
 
 @configclass
@@ -112,6 +117,7 @@ class RolloutState:
     time_out_buf: jnp.ndarray
     t: jnp.ndarray              # rollout time [s] (the reference's t_rollout)
     actuator_hidden: Optional[object]
+    geom_pos: Optional[jnp.ndarray] = None   # rough-Pallas plane anchors
 
 
 class RobotBatchRollout(LeggedRobot):
@@ -145,6 +151,7 @@ class RobotBatchRollout(LeggedRobot):
             time_out_buf=jnp.zeros_like(state.time_out_buf),
             t=(state.episode_length.astype(jnp.float32)) * self.dt,
             actuator_hidden=state.actuator_hidden,
+            geom_pos=state.geom_pos,
         )
 
     def rollout_step(self, rs: RolloutState, actions: jnp.ndarray,
@@ -154,8 +161,9 @@ class RobotBatchRollout(LeggedRobot):
         robot_batch_rollout.py:602-716 + post_physics_step_rollout :763-817)."""
         clip_a = self.cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
-        phys, torques, report, act_hidden = self._physics_substeps(
-            rs.phys, actions, env_params, rs.last_dof_vel, rs.actuator_hidden)
+        phys, torques, report, act_hidden, geom_pos = self._physics_substeps(
+            rs.phys, actions, env_params, rs.last_dof_vel, rs.actuator_hidden,
+            rs.geom_pos)
 
         from ..utils.math import quat_rotate_inverse
 
@@ -166,7 +174,7 @@ class RobotBatchRollout(LeggedRobot):
         projected_gravity = quat_rotate_inverse(phys.base_quat, grav)
 
         rs = rs.replace(
-            actuator_hidden=act_hidden,
+            actuator_hidden=act_hidden, geom_pos=geom_pos,
             phys=phys, actions=actions, torques=torques,
             base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,
             projected_gravity=projected_gravity,
@@ -319,7 +327,13 @@ class RobotTrajGradSampling(RobotBatchRollout):
             n_diffuse = (self.traj_opt_cfg.num_diffuse_steps_init if initial
                          else self.traj_opt_cfg.num_diffuse_steps)
         rollout_fn = lambda all_us: self.rollout_batch(state, all_us)
-        return self.traj_sampler.optimize(nodes, rollout_fn, key, n_diffuse)
+        nodes, info = self.traj_sampler.optimize(nodes, rollout_fn, key, n_diffuse)
+        to = self.cfg.trajectory_opt
+        if to.polish_iters > 0:
+            nodes, pinfo = self.traj_sampler.polish(
+                nodes, rollout_fn, to.polish_iters, to.polish_lr)
+            info = dict(info, **pinfo)
+        return nodes, info
 
     def shift_trajectory_batch(self, nodes: jnp.ndarray,
                                append_action: Optional[jnp.ndarray] = None):

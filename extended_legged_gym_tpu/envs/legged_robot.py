@@ -102,6 +102,11 @@ class EnvState:
     command_lin_vel_x_range: jnp.ndarray  # [2] (command curriculum widens this)
     reward_stage: jnp.ndarray        # scalar int32 (multi-stage rewards)
 
+    # previous-substep geom world positions [B, ng, 3] — carried only by the
+    # fused rough-terrain Pallas path (terrain plane sampling anchor);
+    # None elsewhere
+    geom_pos: Optional[jnp.ndarray] = None
+
 
 class LeggedRobot:
     """Static env object: holds config/model/terrain and provides pure
@@ -227,21 +232,44 @@ class LeggedRobot:
         # --- observation noise vector (ref legged_robot.py:533-556) ---
         self.noise_scale_vec = self._make_noise_scale_vec()
 
-        # --- fused Pallas physics path (flat terrains; ops/physics_kernel.py) ---
+        # --- fused Pallas physics path (ops/physics_kernel.py) ---
         self.pallas_step = None
+        self.pallas_step_rough = None
+        self.pallas_decimated = None
         want_pallas = cfg.sim.solver in ("pallas", "pallas_interpret")
         on_tpu = jax.default_backend() == "tpu"
         # on CPU the kernel would run in the (slow) interpreter — only do so
         # when explicitly requested ("pallas_interpret", used by tests)
-        if (want_pallas and self.terrain.is_flat
-                and not cfg.control.use_actuator_network
+        if (want_pallas and not cfg.control.use_actuator_network
+                and not self.terrain.has_ceiling
                 and (on_tpu or cfg.sim.solver == "pallas_interpret")):
-            from ..ops.physics_kernel import make_env_step
+            # (two-layer confined terrains stay on the XLA path — the fused
+            # kernel has no ceiling-contact branch)
+            if cfg.control.control_type in ("P", "T"):
+                # whole decimation loop fused: torques on packed joint rows,
+                # one plane sample per control step (rough), pack/unpack once
+                from ..ops.physics_kernel import make_decimated_env_step
 
-            self.pallas_step = make_env_step(
-                self.model, self.sim_params,
-                terrain_height=float(self.terrain.height[0, 0]),
-                interpret=not on_tpu)
+                self.pallas_decimated = make_decimated_env_step(
+                    self.model, self.sim_params, self.terrain,
+                    cfg.control.decimation, self.p_gains, self.d_gains,
+                    model.default_dof_pos, cfg.control.action_scale,
+                    torque_limits=model.torque_limits,
+                    control_type=cfg.control.control_type,
+                    interpret=not on_tpu)
+            elif self.terrain.is_flat:
+                from ..ops.physics_kernel import make_env_step
+
+                self.pallas_step = make_env_step(
+                    self.model, self.sim_params,
+                    terrain_height=float(self.terrain.height[0, 0]),
+                    interpret=not on_tpu)
+            else:
+                from ..ops.physics_kernel import make_env_step_rough
+
+                self.pallas_step_rough = make_env_step_rough(
+                    self.model, self.sim_params, self.terrain,
+                    interpret=not on_tpu)
 
         # --- actuator network (reference anymal.py:54-105, N5) ---
         self.actuator_net = None
@@ -250,6 +278,9 @@ class LeggedRobot:
 
             self.actuator_net = ActuatorNetLSTM.from_json(cfg.control.actuator_net_file)
 
+        self._needs_geom_pos = (
+            self.pallas_step_rough is not None
+            or (self.pallas_decimated is not None and self.pallas_decimated.rough))
         self.default_dof_pos = model.default_dof_pos
         self.base_init_state = np.array(
             list(cfg.init_state.pos) + list(cfg.init_state.rot)
@@ -410,6 +441,7 @@ class LeggedRobot:
             env_origins=env_origins,
             command_lin_vel_x_range=jnp.asarray(self.command_ranges["lin_vel_x"], jnp.float32),
             reward_stage=jnp.zeros((), jnp.int32),
+            geom_pos=self._seed_geom_pos(phys) if self._needs_geom_pos else None,
         )
         # populate derived quantities / observations with a zero-action step
         state = self._refresh_derived(state)
@@ -420,6 +452,14 @@ class LeggedRobot:
         if self.custom_origins:
             return self.terrain_origins[levels, types]
         return self.grid_origins
+
+    def _seed_geom_pos(self, phys: PhysState) -> jnp.ndarray:
+        """Plane-sample anchors for freshly (re)set envs: all geoms start at
+        the base position — the first substep's depth clamp bounds the error
+        and the anchors converge after one substep (~2 ms)."""
+        ng = self.model.geom_radius.shape[0]
+        return jnp.broadcast_to(phys.base_pos[:, None, :],
+                                (phys.base_pos.shape[0], ng, 3))
 
     def _sample_init_phys(self, key, env_origins, mask) -> PhysState:
         """Batched reset of root + dof states (ref legged_robot.py:450-489)."""
@@ -473,38 +513,49 @@ class LeggedRobot:
         clip_a = cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
 
-        phys, torques, report, act_hidden = self._physics_substeps(
+        phys, torques, report, act_hidden, geom_pos = self._physics_substeps(
             state.phys, actions, state.env_params, state.last_dof_vel,
-            state.actuator_hidden)
+            state.actuator_hidden, state.geom_pos)
         state = state.replace(phys=phys, actions=actions, torques=torques,
-                              actuator_hidden=act_hidden)
+                              actuator_hidden=act_hidden, geom_pos=geom_pos)
         state = self._refresh_derived(state, report)
         return self._post_physics_step(state)
 
     def _physics_substeps(self, phys: PhysState, actions: jnp.ndarray,
                           env_params: EnvPhysParams, last_dof_vel: jnp.ndarray,
-                          actuator_hidden=None):
+                          actuator_hidden=None, geom_pos=None):
         """Decimation loop: recompute torques each sim substep
         (ref legged_robot.py:96-103; actuator-net hidden advances per substep
-        like the reference's per-step SEA evaluation, anymal.py:93-105)."""
+        like the reference's per-step SEA evaluation, anymal.py:93-105).
+        ``geom_pos`` is the rough-Pallas plane anchor carry (None otherwise)."""
+        if self.pallas_decimated is not None:
+            if geom_pos is None and self.pallas_decimated.rough:
+                geom_pos = self._seed_geom_pos(phys)
+            phys, tau, report, geom_pos = self.pallas_decimated(
+                phys, actions, env_params, geom_pos)
+            return phys, tau, report, actuator_hidden, geom_pos
 
         def substep(carry, _):
-            ph, hid = carry
+            ph, hid, gp = carry
             tau, hid = self._compute_torques(actions, ph, last_dof_vel, hid)
-            if self.pallas_step is not None:
+            if self.pallas_step_rough is not None:
+                ph, rep, gp = self.pallas_step_rough(ph, tau, env_params, gp)
+            elif self.pallas_step is not None:
                 ph, rep = self.pallas_step(ph, tau, env_params)
             else:
                 ph, rep = jax.vmap(
                     physics_step, in_axes=(None, None, None, 0, 0, 0)
                 )(self.model, self.terrain, self.sim_params, ph, tau, env_params)
-            return (ph, hid), (tau, rep)
+            return (ph, hid, gp), (tau, rep)
 
-        (phys, actuator_hidden), (taus, reps) = jax.lax.scan(
-            substep, (phys, actuator_hidden), None,
+        if geom_pos is None and self.pallas_step_rough is not None:
+            geom_pos = self._seed_geom_pos(phys)
+        (phys, actuator_hidden, geom_pos), (taus, reps) = jax.lax.scan(
+            substep, (phys, actuator_hidden, geom_pos), None,
             length=self.cfg.control.decimation)
         # report from the last substep; torques from the last substep
         last_rep = jax.tree.map(lambda x: x[-1], reps)
-        return phys, taus[-1], last_rep, actuator_hidden
+        return phys, taus[-1], last_rep, actuator_hidden, geom_pos
 
     def _compute_torques(self, actions, phys: PhysState, last_dof_vel,
                          actuator_hidden=None):
@@ -716,7 +767,12 @@ class LeggedRobot:
             act_hidden = jax.tree.map(
                 lambda h: jnp.where(mask.reshape((B,) + (1,) * (h.ndim - 1)),
                                     jnp.zeros_like(h), h), act_hidden)
+        geom_pos = state.geom_pos
+        if geom_pos is not None:
+            geom_pos = jnp.where(mask[:, None, None],
+                                 self._seed_geom_pos(phys), geom_pos)
         return state.replace(
+            geom_pos=geom_pos,
             actuator_hidden=act_hidden,
             phys=phys, commands=commands,
             episode_return=state.episode_return * (1.0 - fmask),

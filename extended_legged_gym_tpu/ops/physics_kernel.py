@@ -1,4 +1,4 @@
-"""Fused Pallas physics-step kernel (flat terrain).
+"""Fused Pallas physics-step kernel (flat + rough terrain).
 
 The entire ABA physics step — FK, contacts, articulated-body sweeps, the 6×6
 floating-base solve, and integration — fused into ONE kernel, with the
@@ -11,10 +11,16 @@ every arithmetic op runs at full lane utilization; all model constants (tree
 topology, joint frames, inertias, collision spheres) are baked into the
 kernel at build time as python floats.
 
-Restrictions (by design, the hot MPC/flat-training case):
-* flat terrain at a constant height (``terrain.is_flat``) — no terrain
-  gathers exist in this regime;
-* one robot morphology per kernel (rebuild per model — cached).
+Two regimes:
+* flat terrain at a constant height (``terrain.is_flat``) — the contact
+  plane is baked into the kernel as a float;
+* rough heightfields — per-geom local tangent planes are sampled OUTSIDE
+  the kernel (one XLA bilinear gather per substep at the previous substep's
+  geom positions; TPU has no per-lane VMEM gather, and a one-hot MXU gather
+  over the full grid would cost more FLOPs than the physics) and streamed in
+  as packed rows; the kernel reports geom positions for the next sample.
+
+One robot morphology per kernel (rebuild per model — cached).
 
 Layout: state packed as ``(NS, B//128, 128)`` with rows
 [pos(3), quat(4), jpos(nj), lvel(3), avel(3), jvel(nj)]; B must be a
@@ -41,13 +47,24 @@ def _const3(a):
     return tuple(float(x) for x in np.asarray(a).reshape(-1))
 
 
-def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
-                              interpret: bool = False):
-    """Build the fused step for (model, sim params, flat terrain height).
+def build_physics_kernel(model, sp, terrain_height: float = 0.0,
+                         rough: bool = False, interpret: bool = False):
+    """Build the fused step for (model, sim params, terrain regime).
 
-    Returns ``step(state_packed, tau_packed, fric, delta) ->
-    (new_state_packed, foot_forces_z_packed [nf rows], foot_pos_packed [3nf],
-    foot_vel_packed [3nf])``."""
+    Flat (``rough=False``): contacts against a constant-height plane baked in
+    as a float — ``step(state, tau, fric, delta)``.
+
+    Rough (``rough=True``): contacts against per-geom local tangent planes
+    ``(p0x, p0y, h, nx, ny, nz)`` sampled OUTSIDE the kernel (XLA bilinear
+    gather on the heightfield at the previous substep's geom positions —
+    sub-mm stale at physics dt) and passed as 6·ng packed rows —
+    ``step(state, tau, fric, delta, planes)``; additionally outputs the 3·ng
+    geom world positions for the next sample.  Penetration depth is clamped
+    to 2r+5cm so a stale plane right after a teleporting reset produces a
+    bounded, self-correcting impulse instead of an explosion.
+
+    Returns ``(new_state_packed, geom_forces [3ng rows], foot_pos [3nf],
+    foot_vel [3nf][, geom_pos [3ng]])``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,8 +121,12 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
     I_unit0 = np.block([[cx0 @ cx0.T, cx0], [cx0.T, np.eye(3)]])
     I_unit0 = tuple(float(x) for x in I_unit0.reshape(-1))
 
-    def kernel(state_ref, tau_ref, fric_ref, delta_ref,
-               out_ref, gf_ref, fpos_ref, fvel_ref):
+    def kernel(state_ref, tau_ref, fric_ref, delta_ref, *refs):
+        if rough:
+            (plane_ref, out_ref, gf_ref, fpos_ref, fvel_ref, gpos_ref) = refs
+        else:
+            plane_ref = gpos_ref = None
+            (out_ref, gf_ref, fpos_ref, fvel_ref) = refs
         S = lambda i: state_ref[i]          # (SUB, LANE) lane-scalar
         pos = (S(0), S(1), S(2))
         quat = (S(3), S(4), S(5), S(6))
@@ -148,7 +169,7 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
             # c_bias = V ×ₘ vJ with vJ = [axis·qd, 0]
             Cb[i] = tm.spatial_cross_motion(V[i], tm.v6(vj_w, (vj_w[0] * 0.0,) * 3))
 
-        # ---------------- contacts (flat terrain) ----------------
+        # ---------------- contacts ----------------
         # per-body force + damping-matrix accumulators (body coords)
         Fb = [None] * nb
         Dsb = [None] * nb
@@ -158,32 +179,59 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
             gp = tm.v3_add(P[b], tm.m3_vec(R[b], goff[g]))
             gv_b = tm.v3_add(V[b][3:6], tm.v3_cross(V[b][0:3], goff[g]))
             gv = tm.m3_vec(R[b], gv_b)          # world velocity
-            depth = (h0 + grad_[g]) - gp[2]
+            if rough:
+                # local tangent plane (p0, n) sampled at last substep's position
+                p0x, p0y, hh = (plane_ref[6 * g + 0], plane_ref[6 * g + 1],
+                                plane_ref[6 * g + 2])
+                n_w = (plane_ref[6 * g + 3], plane_ref[6 * g + 4],
+                       plane_ref[6 * g + 5])
+                # VERTICAL gap like the XLA contact (contact.py
+                # sphere_terrain_contact): extrapolate the bilinear height to
+                # the current xy via the plane gradient (∇h = −n_xy/n_z),
+                # exact on each bilinear cell
+                inv_nz = 1.0 / jnp.maximum(n_w[2], 0.05)
+                h_ext = hh - (n_w[0] * (gp[0] - p0x)
+                              + n_w[1] * (gp[1] - p0y)) * inv_nz
+                depth = (h_ext + grad_[g]) - gp[2]
+                # stale-plane safety clamp (teleporting resets)
+                depth = jnp.minimum(depth, 2.0 * grad_[g] + 0.05)
+                vn = n_w[0] * gv[0] + n_w[1] * gv[1] + n_w[2] * gv[2]
+                vt_sq = (gv[0] * gv[0] + gv[1] * gv[1] + gv[2] * gv[2]
+                         - vn * vn)
+                vt_norm = jnp.sqrt(jnp.maximum(vt_sq, 0.0) + 1e-12)
+            else:
+                n_w = None                      # n = z, constant-folded below
+                depth = (h0 + grad_[g]) - gp[2]
+                depth = jnp.minimum(depth, 2.0 * grad_[g] + 0.05)
+                vn = gv[2]
+                vt_norm = jnp.sqrt(gv[0] * gv[0] + gv[1] * gv[1] + 1e-12)
             active = (depth > 0.0).astype(gp[2].dtype)
             depth_a = jnp.maximum(depth, 0.0)
-            vn = gv[2]
-            vt = (gv[0], gv[1])
-            vt_norm = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + 1e-12)
             fn_el = kp * depth_a
             fn_est = jnp.maximum(fn_el - kd * vn, 0.0) * active
             mu = mu0 * fric
             kt_eff = jnp.minimum(ktmax, mu * fn_est / jnp.maximum(vt_norm, 1e-3))
             kt_a = kt_eff * active
             kdm = (kd - kt_eff) * active
-            # world force f = f_el − D v with n = z:
+            # world force f = f_el − D v, D = kt I + (kd−kt) n nᵀ
             fz_el = fn_el * active
-            fx = -kt_a * gv[0]
-            fy = -kt_a * gv[1]
-            fz = fz_el - (kt_a + kdm) * gv[2]
-            f_w = (fx, fy, fz)
+            if rough:
+                f_w = tuple(fz_el * n_w[k] - kt_a * gv[k] - kdm * vn * n_w[k]
+                            for k in range(3))
+            else:
+                f_w = (-kt_a * gv[0], -kt_a * gv[1],
+                       fz_el - (kt_a + kdm) * gv[2])
             # stash per-geom quantities for implicit-consistent reporting
-            gstash.append((b, gv, fz_el, kt_a, kdm, active))
+            gstash.append((b, gv, fz_el, kt_a, kdm, active, n_w))
             # body-coords spatial force at body origin
             f_b = tm.m3_vecT(R[b], f_w)
             n_sp = tm.v6(tm.v3_cross(goff[g], f_b), f_b)
             Fb[b] = n_sp if Fb[b] is None else tm.v6_add(Fb[b], n_sp)
-            # damper D = kt I + kdm n nᵀ (world, n = z) → body coords
-            n_b = (R[b][6], R[b][7], R[b][8])   # Rᵀ z = third row of R
+            # damper D = kt I + kdm n nᵀ → body coords
+            if rough:
+                n_b = tm.m3_vecT(R[b], n_w)
+            else:
+                n_b = (R[b][6], R[b][7], R[b][8])   # Rᵀ z = third row of R
             Db = tuple(
                 (kt_a if i == j else kt_a * 0.0) + kdm * n_b[i] * n_b[j]
                 for i in range(3) for j in range(3))
@@ -299,7 +347,7 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
         # implicit-consistent forces via post-step point velocities (matches
         # physics/aba.py: v_new = v + dt·a_point from the true body accels)
         for g in range(ng):
-            b, gv, fz_el, kt_a, kdm, active = gstash[g]
+            b, gv, fz_el, kt_a, kdm, active, n_w = gstash[g]
             w_i = V[b][0:3]
             vl_i = V[b][3:6]
             a_cl = tm.v3_add(A[b][3:6], tm.v3_cross(w_i, vl_i))
@@ -307,12 +355,21 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
                 tm.v3_cross(A[b][0:3], goff[g]),
                 tm.v3_cross(w_i, tm.v3_cross(w_i, goff[g]))))
             a_w = tm.m3_vec(R[b], a_pt)
-            vnx = gv[0] + dt * a_w[0]
-            vny = gv[1] + dt * a_w[1]
-            vnz = gv[2] + dt * a_w[2]
-            gf_ref[3 * g + 0] = (-kt_a * vnx) * active
-            gf_ref[3 * g + 1] = (-kt_a * vny) * active
-            gf_ref[3 * g + 2] = (fz_el - (kt_a + kdm) * vnz) * active
+            vnew = tuple(gv[k] + dt * a_w[k] for k in range(3))
+            if rough:
+                vn_new = (n_w[0] * vnew[0] + n_w[1] * vnew[1]
+                          + n_w[2] * vnew[2])
+                for k in range(3):
+                    gf_ref[3 * g + k] = (fz_el * n_w[k] - kt_a * vnew[k]
+                                         - kdm * vn_new * n_w[k]) * active
+            else:
+                gf_ref[3 * g + 0] = (-kt_a * vnew[0]) * active
+                gf_ref[3 * g + 1] = (-kt_a * vnew[1]) * active
+                gf_ref[3 * g + 2] = (fz_el - (kt_a + kdm) * vnew[2]) * active
+            if rough:
+                gp = tm.v3_add(P[b], tm.m3_vec(R[b], goff[g]))
+                for k in range(3):
+                    gpos_ref[3 * g + k] = gp[k]
         for fi, g in enumerate(foot_geoms):
             b = gb[g]
             gp = tm.v3_add(P[b], tm.m3_vec(R[b], goff[g]))
@@ -325,33 +382,48 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def step(state_packed, tau_packed, fric, delta):
+    def step(state_packed, tau_packed, fric, delta, planes=None):
         """state_packed (NS, B//128, 128); tau (nj, B//128, 128);
-        fric/delta (1, B//128, 128)."""
+        fric/delta (1, B//128, 128); planes (6·ng, B//128, 128) when rough."""
         nrow = state_packed.shape[1]
         grid = (nrow // SUB,)
         bspec = lambda R_: pl.BlockSpec((R_, SUB, LANE), lambda t: (0, t, 0),
                                         memory_space=pltpu.VMEM)
-        out_shapes = (
+        out_shapes = [
             jax.ShapeDtypeStruct(state_packed.shape, state_packed.dtype),
             jax.ShapeDtypeStruct((3 * ng, nrow, LANE), state_packed.dtype),
             jax.ShapeDtypeStruct((max(3 * nf, 1), nrow, LANE), state_packed.dtype),
             jax.ShapeDtypeStruct((max(3 * nf, 1), nrow, LANE), state_packed.dtype),
-        )
+        ]
+        in_specs = [bspec(NS), bspec(nj), bspec(1), bspec(1)]
+        out_specs = [bspec(NS), bspec(3 * ng), bspec(max(3 * nf, 1)),
+                     bspec(max(3 * nf, 1))]
+        args = [state_packed, tau_packed, fric, delta]
+        if rough:
+            in_specs.append(bspec(6 * ng))
+            args.append(planes)
+            out_specs.append(bspec(3 * ng))
+            out_shapes.append(jax.ShapeDtypeStruct((3 * ng, nrow, LANE),
+                                                   state_packed.dtype))
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[bspec(NS), bspec(nj), bspec(1), bspec(1)],
-            out_specs=(bspec(NS), bspec(3 * ng), bspec(max(3 * nf, 1)),
-                       bspec(max(3 * nf, 1))),
-            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(state_packed, tau_packed, fric, delta)
+        )(*args)
 
     step.NS = NS
     step.nf = nf
     step.foot_geoms = foot_geoms
     return step
+
+
+def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
+                              interpret: bool = False):
+    return build_physics_kernel(model, sp, terrain_height, rough=False,
+                                interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -437,4 +509,176 @@ def make_env_step(model, sp, terrain_height: float = 0.0, interpret: bool = Fals
         )
         return new_phys, report
 
+    return env_step
+
+
+def make_env_step_rough(model, sp, terrain, interpret: bool = False):
+    """Batched rough-terrain step backed by the fused kernel.
+
+    Signature: ``env_step(phys, tau, env_params, geom_pos) ->
+    (new_phys, report, new_geom_pos)`` where ``geom_pos [B, ng, 3]`` is the
+    previous substep's geom world positions (the env layer carries it; on
+    reset it is seeded with the base position — the depth clamp inside the
+    kernel bounds the one-substep transient).  Terrain heights + normals are
+    sampled OUTSIDE the kernel with the same bilinear gather as the XLA
+    contact path (terrain/heightfield.py::sample_height_and_normal), so the
+    per-step cost is one [B·ng] gather + the fused kernel."""
+    from ..physics.engine import StepReport
+    from ..terrain.heightfield import sample_height_and_normal
+
+    step_k = build_physics_kernel(model, sp, rough=True, interpret=interpret)
+    nj = model.nj
+    ng = len(model.geom_body_static)
+    nf = step_k.nf
+
+    def env_step(phys, tau, env_params, geom_pos):
+        B = phys.base_pos.shape[0]
+        Bp = ((B + TILE - 1) // TILE) * TILE
+        pad = Bp - B
+
+        def padb(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+        h, n = sample_height_and_normal(terrain, geom_pos[..., :2])
+        planes = jnp.concatenate([
+            geom_pos[..., :2], h[..., None], n], axis=-1)     # [B, ng, 6]
+        planes_p = padb(planes).reshape(Bp, 6 * ng).T.reshape(6 * ng, -1, LANE)
+
+        phys_p = jax.tree.map(padb, phys)
+        if pad:
+            q = phys_p.base_quat.at[B:, 3].set(1.0)
+            phys_p = phys_p.replace(base_quat=q,
+                                    base_pos=phys_p.base_pos.at[B:, 2].set(100.0))
+        packed = pack_state(phys_p, nj)
+        tau_p = pack_rows(padb(tau))
+        fric = padb(env_params.friction_scale[:, None]).T.reshape(1, -1, LANE)
+        delta = padb(env_params.base_mass_delta[:, None]).T.reshape(1, -1, LANE)
+
+        new_packed, gf, fpos, fvel, gpos = step_k(packed, tau_p, fric, delta,
+                                                  planes_p)
+        new_phys = jax.tree.map(lambda x: x[:B], unpack_state(new_packed, nj))
+        geom_forces = gf.reshape(3 * ng, -1).T.reshape(Bp, ng, 3)[:B]
+        foot_pos = fpos.reshape(max(3 * nf, 1), -1).T.reshape(Bp, -1, 3)[:B, :nf]
+        foot_vel = fvel.reshape(max(3 * nf, 1), -1).T.reshape(Bp, -1, 3)[:B, :nf]
+        new_gpos = gpos.reshape(3 * ng, -1).T.reshape(Bp, ng, 3)[:B]
+        report = StepReport(
+            geom_forces=geom_forces,
+            foot_pos=foot_pos,
+            foot_vel=foot_vel,
+            body_pos=jnp.zeros((B, model.nb, 3)),
+            qdd=jnp.zeros((B, model.nv)),
+        )
+        return new_phys, report, new_gpos
+
+    return env_step
+
+
+def make_decimated_env_step(model, sp, terrain, decimation: int,
+                            p_gains, d_gains, default_dof_pos, action_scale,
+                            torque_limits=None, control_type: str = "P",
+                            interpret: bool = False):
+    """Fully-fused decimated control step: PD torques + ``decimation`` physics
+    substeps with the state PACKED throughout.
+
+    The naive per-substep wrapper loses 5-10× to layout glue: pack/unpack
+    transposes and the terrain gather run once per SUBSTEP.  Here the state is
+    packed once per CONTROL step, torques are computed directly on the packed
+    joint rows, and (rough terrain) the local contact planes are sampled once
+    per control step — anchors go at most ``decimation`` substeps (~8 ms)
+    stale, bounded by the kernel's depth clamp and far fresher than the
+    reference's once-per-step height samples (legged_robot.py:884-938).
+
+    Returns ``env_step(phys, actions, env_params, gpos) ->
+    (new_phys, tau_last, report, new_gpos)`` with ``gpos`` [B, ng, 3]
+    (ignored/None on flat terrain)."""
+    from ..physics.engine import StepReport
+    from ..terrain.heightfield import sample_height_and_normal
+
+    rough = terrain is not None and not bool(terrain.is_flat)
+    h0 = 0.0 if rough else float(terrain.height[0, 0])
+    step_k = build_physics_kernel(model, sp, terrain_height=h0, rough=rough,
+                                  interpret=interpret)
+    nj = model.nj
+    ng = len(model.geom_body_static)
+    nf = step_k.nf
+
+    pg = jnp.asarray(p_gains).reshape(nj, 1, 1)
+    dg = jnp.asarray(d_gains).reshape(nj, 1, 1)
+    ddp = jnp.asarray(default_dof_pos).reshape(nj, 1, 1)
+    tl = (jnp.asarray(torque_limits).reshape(nj, 1, 1)
+          if torque_limits is not None else None)
+
+    def planes_packed(gp_rows):
+        """(3ng, R, L) geom positions → (6ng, R, L) plane rows, no transposes."""
+        x = gp_rows[0::3]                       # (ng, R, L)
+        y = gp_rows[1::3]
+        xy = jnp.stack([x, y], axis=-1)         # (ng, R, L, 2)
+        h, n = sample_height_and_normal(terrain, xy)   # (ng,R,L), (ng,R,L,3)
+        rows = jnp.stack([x, y, h, n[..., 0], n[..., 1], n[..., 2]],
+                         axis=1)                # (ng, 6, R, L)
+        return rows.reshape(6 * ng, *gp_rows.shape[1:])
+
+    def env_step(phys, actions, env_params, gpos=None):
+        B = phys.base_pos.shape[0]
+        Bp = ((B + TILE - 1) // TILE) * TILE
+        pad = Bp - B
+
+        def padb(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+        phys_p = jax.tree.map(padb, phys)
+        if pad:
+            q = phys_p.base_quat.at[B:, 3].set(1.0)
+            phys_p = phys_p.replace(base_quat=q,
+                                    base_pos=phys_p.base_pos.at[B:, 2].set(100.0))
+        packed = pack_state(phys_p, nj)
+        act_p = pack_rows(padb(actions * action_scale))          # (nj, R, L)
+        fric = padb(env_params.friction_scale[:, None]).T.reshape(1, -1, LANE)
+        delta = padb(env_params.base_mass_delta[:, None]).T.reshape(1, -1, LANE)
+
+        if rough:
+            gp_rows = pack_rows(padb(gpos).reshape(Bp, 3 * ng))   # (3ng, R, L)
+            planes = planes_packed(gp_rows)
+        else:
+            planes = None
+
+        def substep(carry, _):
+            p = carry
+            jq = p[7:7 + nj]
+            jv = p[13 + nj:13 + 2 * nj]
+            if control_type == "P":
+                tau = pg * (act_p + ddp - jq) - dg * jv
+            elif control_type == "T":
+                tau = act_p
+            else:
+                raise NameError(f"fused path does not support control_type={control_type}")
+            if tl is not None:
+                tau = jnp.clip(tau, -tl, tl)
+            if rough:
+                p2, gf, fpos, fvel, gp2 = step_k(p, tau, fric, delta, planes)
+            else:
+                p2, gf, fpos, fvel = step_k(p, tau, fric, delta)
+                gp2 = None
+            return p2, (tau, gf, fpos, fvel, gp2)
+
+        packed, (taus, gfs, fposs, fvels, gps) = jax.lax.scan(
+            substep, packed, None, length=decimation)
+
+        new_phys = jax.tree.map(lambda x: x[:B], unpack_state(packed, nj))
+        tau_last = taus[-1].reshape(nj, -1).T[:B]
+        geom_forces = gfs[-1].reshape(3 * ng, -1).T.reshape(Bp, ng, 3)[:B]
+        foot_pos = fposs[-1].reshape(max(3 * nf, 1), -1).T.reshape(Bp, -1, 3)[:B, :nf]
+        foot_vel = fvels[-1].reshape(max(3 * nf, 1), -1).T.reshape(Bp, -1, 3)[:B, :nf]
+        new_gpos = (gps[-1].reshape(3 * ng, -1).T.reshape(Bp, ng, 3)[:B]
+                    if rough else None)
+        report = StepReport(
+            geom_forces=geom_forces,
+            foot_pos=foot_pos,
+            foot_vel=foot_vel,
+            body_pos=jnp.zeros((B, model.nb, 3)),
+            qdd=jnp.zeros((B, model.nv)),
+        )
+        return new_phys, tau_last, report, new_gpos
+
+    env_step.rough = rough
     return env_step

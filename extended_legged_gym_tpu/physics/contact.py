@@ -83,7 +83,9 @@ def sphere_terrain_contact(
         n = jnp.where(use_ceiling[..., None], jnp.array([0.0, 0.0, -1.0]), n)
 
     active = (depth > 0.0).astype(pos.dtype)
-    depth_a = jnp.maximum(depth, 0.0)
+    # saturate penetration at 2r+5cm: bounds the impulse from teleporting
+    # resets / stale plane anchors; matches the fused Pallas kernels
+    depth_a = jnp.clip(depth, 0.0, 2.0 * radius + 0.05)
 
     vn = jnp.sum(vel * n, axis=-1)
     vt = vel - vn[..., None] * n

@@ -26,12 +26,16 @@ def play(args):
     runner, train_cfg = task_registry.make_alg_runner(env, args.task, args, train_cfg)
     policy = runner.get_inference_policy()
 
+    from extended_legged_gym_tpu.utils.plot_logger import Logger
+
     state = env.reset_all(jax.random.PRNGKey(args.seed or 0))
     step = jax.jit(env.step)
     log = []
+    plotter = Logger(env.dt)
     for i in range(int(10.0 / env.dt)):
         actions = policy(state.obs)
         state = step(state, actions)
+        plotter.log_env_step(env, state)
         log.append(dict(
             t=i * env.dt,
             base_height=float(state.phys.base_pos[0, 2]),
@@ -39,11 +43,14 @@ def play(args):
             command_x=float(state.commands[0, 0]),
             rew=float(state.rew[0]),
         ))
-    out = os.path.join(runner.log_dir or ".", "play_log.jsonl")
+    out_dir = runner.log_dir or "."
+    out = os.path.join(out_dir, "play_log.jsonl")
     with open(out, "w") as f:
         for row in log:
             f.write(json.dumps(row) + "\n")
-    print(f"played {len(log)} steps; trace -> {out}")
+    png = plotter.plot_states(os.path.join(out_dir, "play_states.png"))
+    plotter.save_json(os.path.join(out_dir, "play_states.json"))
+    print(f"played {len(log)} steps; trace -> {out}" + (f"; plots -> {png}" if png else ""))
     print("mean |vx - cmd|:", float(np.mean([abs(r["base_vel_x"] - r["command_x"]) for r in log[100:]])))
 
 

@@ -96,3 +96,26 @@ def test_timberpile_nav_env_builds_confined_terrain():
     cmds = env.nav_commands(state)
     assert cmds.shape[-1] >= 3
     assert bool(jnp.all(jnp.isfinite(cmds)))
+
+
+def test_plot_logger_collects_and_exports(tmp_path):
+    """utils/plot_logger.Logger — reference utils/logger.py parity."""
+    import numpy as np
+    from extended_legged_gym_tpu.utils.plot_logger import Logger
+
+    env = _small("go2_flat")
+    state = env.reset_all(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    lg = Logger(env.dt)
+    for i in range(5):
+        state = step(state, jnp.zeros((2, 12)))
+        lg.log_env_step(env, state)
+    lg.log_rewards({"rew_tracking": jnp.asarray(0.5)}, 2)
+    assert len(lg.state_log["base_vel_x"]) == 5
+    out = lg.save_json(str(tmp_path / "states.json"))
+    assert out
+    png = lg.plot_states(str(tmp_path / "states.png"))
+    import os
+    if png is not None:
+        assert os.path.exists(png)
+    lg.print_rewards()
