@@ -116,6 +116,7 @@ class RolloutState:
     reset_buf: jnp.ndarray
     time_out_buf: jnp.ndarray
     t: jnp.ndarray              # rollout time [s] (the reference's t_rollout)
+    reward_stage: jnp.ndarray   # per-env copy of the main env's reward stage
     actuator_hidden: Optional[object]
     geom_pos: Optional[jnp.ndarray] = None   # rough-Pallas plane anchors
 
@@ -150,6 +151,8 @@ class RobotBatchRollout(LeggedRobot):
             reset_buf=jnp.zeros_like(state.reset_buf),
             time_out_buf=jnp.zeros_like(state.time_out_buf),
             t=(state.episode_length.astype(jnp.float32)) * self.dt,
+            reward_stage=jnp.broadcast_to(state.reward_stage,
+                                          state.reset_buf.shape),
             actuator_hidden=state.actuator_hidden,
             geom_pos=state.geom_pos,
         )
@@ -211,10 +214,13 @@ class RobotBatchRollout(LeggedRobot):
                    first_contact=first_contact,
                    feet_air_time=feet_air_time,
                    feet_contact_time=feet_contact_time)
-        scales = self.reward_scale_table[0]
+        # index by the main env's current stage so rollout rewards stay
+        # consistent with multi-stage training (reference
+        # robot_batch_rollout.py:1705-1728 stage advancement applies to both)
+        scales = self.reward_scale_table[rs.reward_stage]       # [B, n_terms]
         rew = jnp.zeros(rs.phys.base_pos.shape[0])
         for j, name in enumerate(self.reward_names):
-            rew = rew + getattr(self, f"_reward_{name}")(rs, ctx) * scales[j]
+            rew = rew + getattr(self, f"_reward_{name}")(rs, ctx) * scales[:, j]
         if self.cfg.rewards.only_positive_rewards:
             rew = jnp.clip(rew, min=0.0)
         rs = rs.replace(feet_air_time=feet_air_time * ~contact_filt,

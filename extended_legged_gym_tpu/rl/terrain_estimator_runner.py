@@ -31,7 +31,9 @@ class TerrainEstimatorRunner:
                  policy: Optional[Callable] = None):
         """``policy``: optional pretrained action fn obs→actions; defaults to
         random actions (reference :400-440 action-source switch)."""
-        assert env.cfg.raycaster.enable_raycast or True
+        assert env.cfg.raycaster.enable_raycast, (
+            "terrain-estimator training needs raycast ground truth "
+            "(cfg.raycaster.enable_raycast)")
         self.env = env
         self.log_dir = log_dir
         self.writer = MetricsWriter(log_dir) if log_dir else None

@@ -76,3 +76,19 @@ def test_mpc_step_runs(env, state0):
     assert bool(jnp.all(jnp.isfinite(n)))
     # robot still upright after 3 MPC steps
     assert (np.asarray(s.phys.base_pos[:, 2]) > 0.2).all()
+
+
+def test_rollout_rewards_follow_reward_stage(env, state0):
+    """A stage-advanced main env must produce stage-consistent rollout
+    rewards (reference stages advance for main AND rollout envs together,
+    robot_batch_rollout.py:1705-1728)."""
+    if env.reward_scale_table.shape[0] < 2:
+        # build a 2-stage table on the fly: stage 1 doubles every scale
+        env.reward_scale_table = jnp.concatenate(
+            [env.reward_scale_table, 2.0 * env.reward_scale_table], axis=0)
+    all_us = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (2, 4, 9, 12))
+    r0 = env.rollout_batch(state0, all_us)
+    state1 = state0.replace(reward_stage=jnp.ones((), jnp.int32))
+    r1 = env.rollout_batch(state1, all_us)
+    assert not np.allclose(np.asarray(r0), np.asarray(r1)), (
+        "rollout rewards ignored state.reward_stage")

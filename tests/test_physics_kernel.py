@@ -1,5 +1,8 @@
 """Fused Pallas physics kernel vs the ABA reference engine (interpret mode on
-CPU; the driver's bench exercises the compiled TPU path)."""
+CPU; the driver's bench exercises the compiled TPU path).
+
+Marked slow: interpret-mode Pallas is minutes per test on CPU.  Run with
+``pytest -m slow tests/test_physics_kernel.py``."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +17,8 @@ from extended_legged_gym_tpu.physics import (default_env_params,
 from extended_legged_gym_tpu.physics.aba import aba_physics_step
 from extended_legged_gym_tpu.physics.serialize import load_model
 from extended_legged_gym_tpu.terrain import flat_terrain
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -17,13 +17,35 @@ def test_registry_has_all_families():
         assert fam in names, f"missing family {fam}"
 
 
-@pytest.mark.parametrize("task", ALL_TASKS)
+# one representative per family/architecture — fast default gate; the full
+# sweep (every registration compiles an env) is marked slow
+FAST_TASKS = [
+    "anymal_c_flat", "go2_rough", "elspider_air_flat", "cassie",
+    "anymal_c_traj_grad_sampling", "elspider_air_plan_grad_sampling",
+    "anymal_c_nav_barrier", "cyber2_walk", "franka_batch_rollout",
+    "anymal_c_base_pose_adapt",
+]
+
+
+@pytest.mark.parametrize("task", FAST_TASKS)
+def test_make_env_and_step_fast(task):
+    _make_and_step(task)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task", [t for t in ALL_TASKS if t not in FAST_TASKS])
 def test_make_env_and_step(task):
+    _make_and_step(task)
+
+
+def _make_and_step(task):
     env_cfg, _ = task_registry.get_cfgs(task)
     env_cfg.env.num_envs = 2
-    # shrink terrain generation for test speed
-    env_cfg.terrain.num_rows = 2
-    env_cfg.terrain.num_cols = 2
+    # shrink terrain generation for test speed (pose-adapt cfgs have their
+    # own terrain section shape)
+    if hasattr(env_cfg, "terrain"):
+        env_cfg.terrain.num_rows = 2
+        env_cfg.terrain.num_cols = 2
     if hasattr(env_cfg, "trajectory_opt"):
         env_cfg.trajectory_opt.num_samples = 3
         env_cfg.trajectory_opt.horizon_samples = 4
