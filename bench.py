@@ -1,19 +1,32 @@
-"""Benchmark: ANYmal-C sampling-MPC rollout throughput on one chip.
+"""Benchmark: ANYmal-C sampling-MPC on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Metric: rollouts/s/chip at horizon H=64 (BASELINE.json headline).  One
-"rollout" = one candidate control sequence played through the batched
-articulated-dynamics engine for 64 control steps (x4 physics substeps) with
-per-step reward evaluation — the reference's step_rollout hot loop
-(robot_batch_rollout.py:602-716) over its horizon
-(robot_traj_grad_sampling.py:262-265).
+Two numbers (the BASELINE.json headline pair):
+
+1. rollouts/s/chip at horizon H=64 — one "rollout" = one candidate control
+   sequence played through the batched articulated-dynamics engine for 64
+   control steps (x4 physics substeps) with per-step reward evaluation: the
+   reference's step_rollout hot loop (robot_batch_rollout.py:602-716) over
+   its horizon (robot_traj_grad_sampling.py:262-265).
+2. extras.solve_p50_ms — p50 latency of ONE FULL optimize_all_trajectories
+   solve at the reference shape (Nsample=127, Hsample=16, Hnode=4,
+   Ndiffuse=2; robot_traj_grad_sampling_config.py:49-64) against the 20 ms
+   replanning budget.
+
+Measurement methodology (important on the axon TPU backend): the client
+speculates async dispatches, and ``block_until_ready`` does NOT guarantee
+completion until a result is fetched — so every timed region here chains K
+data-dependent iterations inside one jitted scan and ends with a
+``jax.device_get`` of a scalar reduced from the results.  The fetch is a true
+completion barrier; K amortizes the per-sync round-trip (~22 ms through the
+tunnel) to noise.  Reported time = (dispatch→fetch wall time) / K.
 
 vs_baseline: the reference publishes no throughput numbers
 (BASELINE.json "published": {}).  The north-star target — 8192-rollout MPC
 at >=50 Hz replanning on a v5e-16, i.e. 8192x50/16 = 25,600 rollouts/s/chip
-(at H=16; H=64 is 4x more work per rollout) — is used as the 1.0 mark,
-scaled to H=64: 6,400 rollouts/s/chip.
+at H=16 — scaled to H=64 (4x work per rollout) = 6,400 rollouts/s/chip is
+the 1.0 mark.
 """
 import json
 import time
@@ -22,10 +35,33 @@ import jax
 import jax.numpy as jnp
 
 
+def timed_chain(fn, K, n_reps=5):
+    """Median wall time of one fn-application, measured as K data-dependent
+    applications inside one jit + a device_get completion barrier."""
+    def loop(carry_in):
+        def body(c, _):
+            out = fn(c)
+            return out, None
+        c, _ = jax.lax.scan(body, carry_in, None, length=K)
+        return c
+
+    loopj = jax.jit(loop)
+
+    def run(c0):
+        t0 = time.perf_counter()
+        out = loopj(c0)
+        # completion barrier: reduce to a scalar and FETCH it
+        s = float(jax.device_get(jax.tree.leaves(out)[0].sum()))
+        return (time.perf_counter() - t0) / K, s
+
+    return loopj, run
+
+
 def main():
     from extended_legged_gym_tpu.envs.batch_rollout import RobotTrajGradSampling
     from extended_legged_gym_tpu.robots.anymal_c_traj import anymal_c_traj_sampling_cfg
 
+    # ---- metric 1: rollout throughput at H=64 ----
     E, S, H = 16, 128, 64
     cfg = anymal_c_traj_sampling_cfg(num_main_envs=E)
     cfg.trajectory_opt.num_samples = S - 1
@@ -39,18 +75,42 @@ def main():
         nodes[:, None] + 0.1 * jax.random.normal(
             jax.random.PRNGKey(1), (E, S, cfg.trajectory_opt.horizon_nodes + 1, 12)))
 
-    fn = jax.jit(env.rollout_batch)
-    out = fn(state, all_us)
-    jax.block_until_ready(out)  # compile
+    K1 = 8
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = fn(state, all_us)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
-    rollouts_per_s = E * S / t
+    def one_batch(us):
+        rew = env.rollout_batch(state, us)
+        # data dependency between iterations (defeats speculation/CSE):
+        # perturb the controls by a negligible function of the rewards
+        return us * (1.0 + 1e-7 * jnp.tanh(rew.mean()))
+
+    _, run1 = timed_chain(one_batch, K1)
+    run1(all_us)  # compile + warm
+    t1 = min(run1(all_us)[0] for _ in range(5))
+    rollouts_per_s = E * S / t1
+
+    # ---- metric 2: full MPC solve latency at the reference shape ----
+    cfg2 = anymal_c_traj_sampling_cfg(num_main_envs=1)
+    cfg2.trajectory_opt.num_samples = 127
+    cfg2.trajectory_opt.horizon_samples = 16
+    cfg2.trajectory_opt.horizon_nodes = 4
+    env2 = RobotTrajGradSampling(cfg2)
+    state2 = env2.reset_all(jax.random.PRNGKey(0))
+    nodes2 = env2.traj_sampler.init_node_trajectories()
+
+    K2 = 32
+
+    def one_solve(carry):
+        nd, key = carry
+        k1, k2 = jax.random.split(key)
+        nd, _ = env2.optimize_all_trajectories(state2, nd, k1, n_diffuse=2)
+        return (nd, k2)
+
+    _, run2 = timed_chain(one_solve, K2)
+    c0 = (nodes2, jax.random.PRNGKey(7))
+    run2(c0)  # compile + warm
+    solves_ms = sorted(run2(c0)[0] * 1000.0 for _ in range(9))
+    solve_p50 = solves_ms[len(solves_ms) // 2]
+    solve_p90 = solves_ms[max(0, int(len(solves_ms) * 0.9) - 1)]
 
     target_h64 = 6400.0
     print(json.dumps({
@@ -58,6 +118,10 @@ def main():
         "value": round(rollouts_per_s, 2),
         "unit": "rollouts/s",
         "vs_baseline": round(rollouts_per_s / target_h64, 4),
+        "solve_p50_ms": round(solve_p50, 3),
+        "solve_p90_ms": round(solve_p90, 3),
+        "solve_budget_ms": 20.0,
+        "solve_shape": "Nsample=127 Hsample=16 Hnode=4 Ndiffuse=2",
     }))
 
 

@@ -217,7 +217,7 @@ class RobotBatchRollout(LeggedRobot):
         # index by the main env's current stage so rollout rewards stay
         # consistent with multi-stage training (reference
         # robot_batch_rollout.py:1705-1728 stage advancement applies to both)
-        scales = self.reward_scale_table[rs.reward_stage]       # [B, n_terms]
+        scales = jnp.asarray(self.reward_scale_table)[rs.reward_stage]  # [B, n_terms]
         rew = jnp.zeros(rs.phys.base_pos.shape[0])
         for j, name in enumerate(self.reward_names):
             rew = rew + getattr(self, f"_reward_{name}")(rs, ctx) * scales[:, j]

@@ -184,8 +184,11 @@ class LeggedRobot:
             for k, v in cfg.control.damping.items():
                 if k in name:
                     d_gains[i] = v
-        self.p_gains = jnp.asarray(p_gains)
-        self.d_gains = jnp.asarray(d_gains)
+        # ctor constants stay numpy: closed-over DEVICE arrays are read back
+        # (D2H) at jit lowering to embed as HLO constants, which on axon
+        # permanently degrades the process to ~22 ms synchronous dispatches
+        self.p_gains = np.asarray(p_gains, dtype=np.float32)
+        self.d_gains = np.asarray(d_gains, dtype=np.float32)
 
         # --- contact index sets (ref legged_robot.py:633-674) ---
         self.feet_geoms = np.asarray(model.foot_geom)
@@ -200,7 +203,7 @@ class LeggedRobot:
         m = (lim[:, 0] + lim[:, 1]) / 2
         r = lim[:, 1] - lim[:, 0]
         soft = cfg.rewards.soft_dof_pos_limit
-        self.dof_pos_soft_limits = jnp.asarray(
+        self.dof_pos_soft_limits = np.asarray(
             np.stack([m - 0.5 * r * soft, m + 0.5 * r * soft], axis=1))
 
         # --- height measurement points (ref legged_robot.py:846-882) ---
@@ -208,10 +211,10 @@ class LeggedRobot:
             gx, gy = np.meshgrid(cfg.terrain.measured_points_x,
                                  cfg.terrain.measured_points_y, indexing="ij")
             pts = np.stack([gx.ravel(), gy.ravel()], axis=-1)
-            self.height_points = jnp.asarray(pts, dtype=jnp.float32)  # [P, 2]
+            self.height_points = np.asarray(pts, dtype=np.float32)  # [P, 2]
             self.num_height_points = pts.shape[0]
         else:
-            self.height_points = jnp.zeros((0, 2))
+            self.height_points = np.zeros((0, 2), np.float32)
             self.num_height_points = 0
 
         # --- env origins ---
@@ -262,7 +265,7 @@ class LeggedRobot:
 
                 self.pallas_step = make_env_step(
                     self.model, self.sim_params,
-                    terrain_height=float(self.terrain.height[0, 0]),
+                    terrain_height=self.terrain.height00,
                     interpret=not on_tpu)
             else:
                 from ..ops.physics_kernel import make_env_step_rough
@@ -296,10 +299,10 @@ class LeggedRobot:
             max_init = min(self.cfg.terrain.max_init_terrain_level, tg.num_rows - 1)
             levels = np.random.randint(0, max_init + 1, self.num_envs)
             types = (np.arange(self.num_envs) % tg.num_cols).astype(np.int32)
-            self.terrain_origins = jnp.asarray(tg.env_origins, dtype=jnp.float32)
+            self.terrain_origins = np.asarray(tg.env_origins, dtype=np.float32)
             self.max_terrain_level = tg.num_rows
-            self.init_terrain_levels = jnp.asarray(levels, dtype=jnp.int32)
-            self.init_terrain_types = jnp.asarray(types, dtype=jnp.int32)
+            self.init_terrain_levels = np.asarray(levels, dtype=np.int32)
+            self.init_terrain_types = np.asarray(types, dtype=np.int32)
         else:
             # grid origins on the plane (ref legged_robot.py:831-844)
             n = int(np.ceil(np.sqrt(self.num_envs)))
@@ -309,11 +312,11 @@ class LeggedRobot:
             origins[:, 0] = spacing * xx.ravel()[: self.num_envs]
             origins[:, 1] = spacing * yy.ravel()[: self.num_envs]
             origins[:, :2] -= origins[:, :2].mean(axis=0, keepdims=True)
-            self.grid_origins = jnp.asarray(origins)
+            self.grid_origins = np.asarray(origins, dtype=np.float32)
             self.terrain_origins = None
             self.max_terrain_level = 1
-            self.init_terrain_levels = jnp.zeros(self.num_envs, jnp.int32)
-            self.init_terrain_types = jnp.zeros(self.num_envs, jnp.int32)
+            self.init_terrain_levels = np.zeros(self.num_envs, np.int32)
+            self.init_terrain_types = np.zeros(self.num_envs, np.int32)
 
     def _prepare_reward_functions(self):
         from ..utils.config import class_to_dict
@@ -343,7 +346,7 @@ class LeggedRobot:
         for j, name in enumerate(names):
             for s in range(self.reward_stage_count):
                 table[s, j] = scale_at_stage(scales[name], s) * self.dt
-        self.reward_scale_table = jnp.asarray(table)
+        self.reward_scale_table = np.asarray(table, dtype=np.float32)
         # termination is also scaled by dt in the reference (:654-659)
         term = scales.get("termination", 0.0)
         self.termination_scale = float(scale_at_stage(term, 0)) * self.dt if term else 0.0
@@ -450,7 +453,7 @@ class LeggedRobot:
 
     def _compute_env_origins(self, levels, types):
         if self.custom_origins:
-            return self.terrain_origins[levels, types]
+            return jnp.asarray(self.terrain_origins)[levels, types]
         return self.grid_origins
 
     def _seed_geom_pos(self, phys: PhysState) -> jnp.ndarray:
@@ -729,7 +732,7 @@ class LeggedRobot:
         lin_range = state.command_lin_vel_x_range
         if cfg.commands.curriculum and "tracking_lin_vel" in self.reward_names:
             j = self.reward_names.index("tracking_lin_vel")
-            track_scale = self.reward_scale_table[state.reward_stage, j]
+            track_scale = jnp.asarray(self.reward_scale_table)[state.reward_stage, j]
             mean_rew = jnp.sum(state.episode_sums["tracking_lin_vel"] * mask) / \
                 jnp.maximum(jnp.sum(mask), 1) / self.max_episode_length
             ok = mean_rew > 0.8 * track_scale
@@ -847,7 +850,7 @@ class LeggedRobot:
                    feet_air_time=feet_air_time,
                    feet_contact_time=feet_contact_time)
 
-        scales = self.reward_scale_table[state.reward_stage]
+        scales = jnp.asarray(self.reward_scale_table)[state.reward_stage]
         rew = jnp.zeros(self.num_envs)
         episode_sums = dict(state.episode_sums)
         for j, name in enumerate(self.reward_names):

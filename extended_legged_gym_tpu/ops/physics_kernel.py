@@ -595,17 +595,18 @@ def make_decimated_env_step(model, sp, terrain, decimation: int,
     from ..terrain.heightfield import sample_height_and_normal
 
     rough = terrain is not None and not bool(terrain.is_flat)
-    h0 = 0.0 if rough else float(terrain.height[0, 0])
+    h0 = 0.0 if rough else terrain.height00
     step_k = build_physics_kernel(model, sp, terrain_height=h0, rough=rough,
                                   interpret=interpret)
     nj = model.nj
     ng = len(model.geom_body_static)
     nf = step_k.nf
 
-    pg = jnp.asarray(p_gains).reshape(nj, 1, 1)
-    dg = jnp.asarray(d_gains).reshape(nj, 1, 1)
-    ddp = jnp.asarray(default_dof_pos).reshape(nj, 1, 1)
-    tl = (jnp.asarray(torque_limits).reshape(nj, 1, 1)
+    # host numpy (closure constants; device arrays would D2H at lowering)
+    pg = np.asarray(p_gains, dtype=np.float32).reshape(nj, 1, 1)
+    dg = np.asarray(d_gains, dtype=np.float32).reshape(nj, 1, 1)
+    ddp = np.asarray(default_dof_pos, dtype=np.float32).reshape(nj, 1, 1)
+    tl = (np.asarray(torque_limits, dtype=np.float32).reshape(nj, 1, 1)
           if torque_limits is not None else None)
 
     def planes_packed(gp_rows):

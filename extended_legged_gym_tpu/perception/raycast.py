@@ -44,9 +44,17 @@ def raycast(terrain: TerrainData, origins: jnp.ndarray, dirs: jnp.ndarray,
             max_distance: float) -> RaycastResult:
     """March rays from origins along dirs (both [..., R, 3]).
 
-    Fixed-step march finds the first sign change of the freeness function;
-    bisection sharpens the hit to sub-step accuracy (the reference's
-    ``wp.mesh_query_ray`` exactness is approached to ~max_distance/2^13)."""
+    When the terrain carries a true triangle mesh (OBJ terrains, confined
+    terrains with wall correction), rays are cast against it exactly —
+    lateral faces and thin features included (reference ``wp.mesh_query_ray``,
+    ray_caster.py:45-92).  Otherwise: fixed-step march over the (two-layer)
+    heightfield freeness function + bisection to ~max_distance/2^13."""
+    if terrain.trimesh is not None:
+        from .trimesh import raycast_trimesh
+
+        dist, hit, points, _ = raycast_trimesh(terrain.trimesh, origins, dirs,
+                                               max_distance)
+        return RaycastResult(distance=dist, hit=hit, points=points)
     ts = jnp.linspace(0.0, 1.0, MARCH_STEPS) * max_distance   # [M]
     pts = origins[..., None, :] + dirs[..., None, :] * ts[..., :, None]  # [..., R, M, 3]
     f = _free(terrain, pts)                                   # [..., R, M]
@@ -86,13 +94,13 @@ class RayCaster:
         self.terrain = terrain
         pat = make_pattern(cfg)
         if isinstance(pat, tuple):  # grid pattern carries per-ray starts
-            self.ray_starts = jnp.asarray(pat[0])
-            self.ray_dirs = jnp.asarray(pat[1])
+            self.ray_starts = np.asarray(pat[0], dtype=np.float32)
+            self.ray_dirs = np.asarray(pat[1], dtype=np.float32)
         else:
-            self.ray_starts = jnp.zeros_like(jnp.asarray(pat))
-            self.ray_dirs = jnp.asarray(pat)
+            self.ray_starts = np.zeros_like(np.asarray(pat, dtype=np.float32))
+            self.ray_dirs = np.asarray(pat, dtype=np.float32)
         self.num_rays = int(self.ray_dirs.shape[0])
-        self.offset = jnp.asarray(np.array(cfg.offset_pos, dtype=np.float32))
+        self.offset = np.array(cfg.offset_pos, dtype=np.float32)
 
     def cast(self, base_pos: jnp.ndarray, base_quat: jnp.ndarray) -> RaycastResult:
         """[B,3],[B,4] → distances [B,R] etc."""

@@ -32,7 +32,30 @@ class SDFResult(NamedTuple):
 def query_sdf(terrain: TerrainData, points: jnp.ndarray) -> SDFResult:
     """Signed distance + gradient + nearest surface point for query points
     [..., 3] (reference MeshSDF.query / nearest_points semantics: nearest
-    point = x − sdf·∇)."""
+    point = x − sdf·∇).
+
+    With a true triangle mesh attached to the terrain, the near field
+    (|sdf| < mesh.sdf_radius) is exact — vertical walls, columns, timber
+    beams all measure laterally, like the reference's
+    ``wp.mesh_query_point_sign_normal``.  The far field falls back to the
+    heightfield approximation, which is accurate away from walls."""
+    if terrain.trimesh is not None:
+        from .trimesh import query_sdf_trimesh
+
+        mesh = terrain.trimesh
+        sdf_tm, grad_tm, near_tm = query_sdf_trimesh(mesh, points)
+        res_hf = _query_sdf_heightfield(terrain, points)
+        use_tm = jnp.abs(sdf_tm) < mesh.sdf_radius * 0.999
+        return SDFResult(
+            sdf=jnp.where(use_tm, sdf_tm, res_hf.sdf),
+            gradient=jnp.where(use_tm[..., None], grad_tm, res_hf.gradient),
+            nearest=jnp.where(use_tm[..., None], near_tm, res_hf.nearest))
+    return _query_sdf_heightfield(terrain, points)
+
+
+def _query_sdf_heightfield(terrain: TerrainData, points: jnp.ndarray) -> SDFResult:
+    """Two-layer heightfield SDF: slope-corrected vertical gaps (first-order;
+    blind to lateral faces — the trimesh near-field above covers those)."""
     xy = points[..., :2]
     z = points[..., 2]
     h = sample_height(terrain, xy)

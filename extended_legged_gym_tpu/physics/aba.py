@@ -79,7 +79,7 @@ def aba_physics_step(model: RobotModel, terrain: TerrainData, sp, state,
     from .engine import PhysState, StepReport
 
     nb, nj = model.nb, model.nj
-    mass = model.mass.at[0].add(env_params.base_mass_delta)
+    mass = jnp.asarray(model.mass).at[0].add(env_params.base_mass_delta)
     prismatic = [t == "prismatic" for t in model.joint_types]
 
     # ---------------- pass 1: kinematics + velocities ----------------

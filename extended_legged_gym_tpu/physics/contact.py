@@ -36,11 +36,15 @@ class ContactParams:
 
 
 def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0) -> ContactParams:
+    """Host-side (numpy) constants — see default_sim_params for why eager
+    device residency of scalar params is a latency trap on axon."""
+    import numpy as np
+
     return ContactParams(
-        kp=jnp.asarray(kp, jnp.float32),
-        kd=jnp.asarray(kd, jnp.float32),
-        kt=jnp.asarray(kt, jnp.float32),
-        mu=jnp.asarray(mu, jnp.float32),
+        kp=np.float32(kp),
+        kd=np.float32(kd),
+        kt=np.float32(kt),
+        mu=np.float32(mu),
     )
 
 

@@ -44,13 +44,20 @@ def default_sim_params(dt: float = 0.005, gravity=(-0.0, 0.0, -9.81),
                        contact: ContactParams | None = None,
                        joint_damping: float = 0.0,
                        solver: str = "aba") -> SimParams:
+    """Constants stay HOST-side (numpy).  They trace into jitted code as
+    embedded constants either way, but keeping them off the device matters
+    on the axon TPU backend: one eager device→host read (e.g. the kernel
+    builder's ``float(sp.dt)``) permanently drops the process from async
+    ~0.08 ms dispatches to ~22 ms synchronous round-trips."""
+    import numpy as np
+
     from .contact import default_contact_params
 
     return SimParams(
-        dt=jnp.asarray(dt, jnp.float32),
-        gravity=jnp.asarray(gravity, jnp.float32),
+        dt=np.float32(dt),
+        gravity=np.asarray(gravity, np.float32),
         contact=contact if contact is not None else default_contact_params(),
-        joint_damping=jnp.asarray(joint_damping, jnp.float32),
+        joint_damping=np.float32(joint_damping),
         solver=solver,
     )
 
@@ -143,7 +150,7 @@ def _physics_step_f32(model, terrain, sp, state, joint_torque, env_params):
     contact = sphere_terrain_contact(terrain, cp, g_pos, g_vel, model.geom_radius)
 
     # --- dynamics assembly ---
-    mass = model.mass.at[0].add(env_params.base_mass_delta)
+    mass = jnp.asarray(model.mass).at[0].add(env_params.base_mass_delta)
     Jv, Jw = body_jacobians(model, kin)
     M = mass_matrix(model, kin, Jv, Jw, mass=mass)
     C = bias_forces(model, kin, Jv, Jw, sp.gravity, mass=mass)

@@ -42,12 +42,12 @@ def model_from_json(text: str) -> RobotModel:
         v = d[f]
         kwargs[f] = tuple(v) if isinstance(v, list) else v
     for f in _ARRAY_FIELDS:
-        dtype = jnp.int32 if f in _INT_FIELDS else jnp.float32
-        kwargs[f] = jnp.asarray(np.array(d[f]), dtype=dtype)
+        dtype = np.int32 if f in _INT_FIELDS else np.float32
+        kwargs[f] = np.asarray(np.array(d[f]), dtype=dtype)  # host-side (see urdf.py)
     kwargs["geom_body_static"] = tuple(int(x) for x in d["geom_body"])
     # empty-array shape fixes
     if kwargs["foot_offset"].size == 0:
-        kwargs["foot_offset"] = jnp.zeros((0, 3), jnp.float32)
+        kwargs["foot_offset"] = np.zeros((0, 3), np.float32)
     return RobotModel(**kwargs)
 
 

@@ -283,7 +283,10 @@ def load_urdf(
                         ddp[i] = v
                         break
 
-    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    # numpy, not jnp: RobotModel constants stay host-side so kernel
+    # builders can read them without device->host transfers (axon
+    # latency trap); they trace into jit as constants identically
+    f32 = lambda x: np.asarray(x, dtype=np.float32)
     model = RobotModel(
         nb=nb,
         nj=nj,
@@ -306,13 +309,13 @@ def load_urdf(
         dof_vel_limits=f32(dof_vel),
         torque_limits=f32(dof_eff),
         default_dof_pos=f32(ddp),
-        geom_body=jnp.asarray(geom_body, dtype=jnp.int32),
+        geom_body=np.asarray(geom_body, dtype=np.int32),
         geom_offset=f32(np.stack(geom_offset)),
         geom_radius=f32(np.array(geom_radius)),
-        foot_body=jnp.zeros((0,), dtype=jnp.int32),
-        foot_offset=jnp.zeros((0, 3), dtype=jnp.float32),
-        foot_radius=jnp.zeros((0,), dtype=jnp.float32),
-        foot_geom=jnp.zeros((0,), dtype=jnp.int32),
+        foot_body=np.zeros((0,), dtype=np.int32),
+        foot_offset=np.zeros((0, 3), dtype=np.float32),
+        foot_radius=np.zeros((0,), dtype=np.float32),
+        foot_geom=np.zeros((0,), dtype=np.int32),
         ancestor_mask=f32(anc),
         base_init_height=f32(base_init_height),
     )
@@ -336,10 +339,10 @@ def attach_feet(model: RobotModel, foot_name: str) -> RobotModel:
     go = np.asarray(model.geom_offset)
     gr = np.asarray(model.geom_radius)
     return model.replace(
-        foot_body=jnp.asarray(gb[foot_geoms], dtype=jnp.int32),
-        foot_offset=jnp.asarray(go[foot_geoms]),
-        foot_radius=jnp.asarray(gr[foot_geoms]),
-        foot_geom=jnp.asarray(foot_geoms, dtype=jnp.int32),
+        foot_body=np.asarray(gb[foot_geoms], dtype=np.int32),
+        foot_offset=np.asarray(go[foot_geoms], dtype=np.float32),
+        foot_radius=np.asarray(gr[foot_geoms], dtype=np.float32),
+        foot_geom=np.asarray(foot_geoms, dtype=np.int32),
         foot_names=tuple(names),
     )
 

@@ -176,7 +176,23 @@ class TerrainConfined:
         self.env_origins[row, col] = [(row + 0.5) * self.env_length,
                                       (col + 0.5) * self.env_width, z]
 
-    def to_device(self, friction: float = 1.0) -> TerrainData:
+    def to_device(self, friction: float = 1.0,
+                  attach_trimesh: bool = True) -> TerrainData:
+        """attach_trimesh builds a wall-corrected triangle mesh of both layers
+        so perception raycast/SDF measure lateral distances to barriers,
+        timber piles and tunnel walls exactly (the rasterized heightfield
+        alone reports only vertical gaps — reference fidelity comes from
+        wp.Mesh over convert_2layer_heightfield_to_trimesh output,
+        terrain_confine.py:13-146)."""
+        trimesh = None
+        if attach_trimesh:
+            from ..perception.trimesh import trimesh_from_heightfield
+
+            trimesh = trimesh_from_heightfield(
+                self.ground, self.cfg.horizontal_scale,
+                origin=(-self.cfg.border_size, -self.cfg.border_size),
+                ceiling=self.ceiling, slope_threshold=1.5)
         return from_numpy(self.ground, self.cfg.horizontal_scale,
                           origin=(-self.cfg.border_size, -self.cfg.border_size),
-                          friction=friction, ceiling=self.ceiling)
+                          friction=friction, ceiling=self.ceiling,
+                          trimesh=trimesh)

@@ -40,6 +40,16 @@ class TerrainData:
     # static: constant-height terrain — contact/raycast sampling becomes pure
     # elementwise math (no gathers); measured 55% of the physics step on TPU
     is_flat: bool = struct.field(pytree_node=False, default=False)
+    # static host copy of height[0, 0] for flat fast paths: reading the
+    # device array (float(terrain.height[0, 0])) is a device→host transfer,
+    # which on the axon backend permanently degrades the process to ~22 ms
+    # synchronous dispatches
+    height00: float = struct.field(pytree_node=False, default=0.0)
+    # optional true triangle mesh (perception/trimesh.TriMeshData): when set,
+    # perception raycast/SDF queries run against real geometry (lateral walls,
+    # thin features) instead of the 2-layer heightfield approximation.
+    # Physics contacts stay on the heightfield fast path either way.
+    trimesh: object | None = None
 
     @property
     def shape(self):
@@ -63,21 +73,26 @@ def _corner_pack(grid: np.ndarray) -> np.ndarray:
 
 
 def from_numpy(height: np.ndarray, hscale: float, origin=(0.0, 0.0), friction: float = 1.0,
-               ceiling: np.ndarray | None = None) -> TerrainData:
+               ceiling: np.ndarray | None = None, trimesh=None) -> TerrainData:
     has_ceiling = ceiling is not None and bool((np.asarray(ceiling) < 1e5).any())
     is_flat = bool(np.ptp(np.asarray(height)) < 1e-9)
     if ceiling is None:
         ceiling = np.full_like(height, 1e6)
+    # host numpy fields: TerrainData is closed over by every jitted env
+    # function; device-resident constants would be read back (D2H) at jit
+    # lowering, which poisons axon dispatch latency for the whole process
     return TerrainData(
-        height=jnp.asarray(height, dtype=jnp.float32),
-        hscale=jnp.asarray(hscale, dtype=jnp.float32),
-        origin=jnp.asarray(origin, dtype=jnp.float32),
-        friction=jnp.asarray(friction, dtype=jnp.float32),
-        ceiling=jnp.asarray(ceiling, dtype=jnp.float32),
-        corner_tex=None if is_flat else jnp.asarray(_corner_pack(height)),
-        ceiling_tex=jnp.asarray(_corner_pack(ceiling)) if has_ceiling else None,
+        height=np.asarray(height, dtype=np.float32),
+        hscale=np.float32(hscale),
+        origin=np.asarray(origin, dtype=np.float32),
+        friction=np.float32(friction),
+        ceiling=np.asarray(ceiling, dtype=np.float32),
+        corner_tex=None if is_flat else _corner_pack(height),
+        ceiling_tex=_corner_pack(ceiling) if has_ceiling else None,
         has_ceiling=has_ceiling,
         is_flat=is_flat,
+        height00=float(np.asarray(height)[0, 0]),
+        trimesh=trimesh,
     )
 
 

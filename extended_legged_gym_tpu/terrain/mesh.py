@@ -122,6 +122,16 @@ class TerrainObj:
                      0, layer.shape[1] - 1)
         return layer[gi, gj]
 
-    def to_device(self) -> TerrainData:
+    def to_device(self, attach_trimesh: bool = True) -> TerrainData:
+        """Heightfield rasterization drives physics contacts; the TRUE
+        triangle mesh rides along for perception (raycast/SDF see lateral
+        faces and >2-layer geometry the rasterization approximates away —
+        reference wp.Mesh fidelity, ray_caster.py:23-42)."""
+        trimesh = None
+        if attach_trimesh and len(self.triangles):
+            from ..perception.trimesh import build_trimesh
+
+            trimesh = build_trimesh(self.vertices, self.triangles)
         return from_numpy(self.ground, self.hscale, origin=self.origin,
-                          friction=self.friction, ceiling=self.ceiling)
+                          friction=self.friction, ceiling=self.ceiling,
+                          trimesh=trimesh)

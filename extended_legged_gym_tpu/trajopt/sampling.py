@@ -63,9 +63,13 @@ class TrajGradSampling:
         self.update_fn = make_update_fn(cfg.update_method, cfg.temp_sample,
                                         self.spline.A, cfg.gamma)
         # per-node noise schedule
-        h = jnp.arange(cfg.horizon_nodes + 1, dtype=jnp.float32)
-        self.node_sigma = cfg.noise_scaling * cfg.horizon_diffuse_factor ** (
-            cfg.horizon_nodes - h)
+        # host numpy: a closed-over device array would be read back (D2H)
+        # at jit lowering, poisoning axon dispatch latency
+        import numpy as np
+        h = np.arange(cfg.horizon_nodes + 1, dtype=np.float32)
+        self.node_sigma = np.asarray(
+            cfg.noise_scaling * cfg.horizon_diffuse_factor ** (
+                cfg.horizon_nodes - h), dtype=np.float32)
 
     # ---------------- conversions (ref :148-170) ----------------
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.math import spline_fit_matrix, spline_interp_matrix
+from ..utils.math import spline_fit_matrix, spline_interp_matrix  # noqa: F401 (public API)
 
 
 class TrajSpline:
@@ -25,8 +25,15 @@ class TrajSpline:
         self.method = method
         self.n_nodes = horizon_nodes + 1
         self.n_dense = horizon_samples + 1
-        self.A = spline_interp_matrix(self.n_nodes, self.n_dense, method)  # [D, N]
-        self.P = spline_fit_matrix(self.n_nodes, self.n_dense, method)     # [N, D]
+        # host numpy: these are closure constants of jitted conversions —
+        # device-resident versions would be read back (D2H) at jit lowering,
+        # which poisons axon dispatch latency for the whole process
+        import numpy as np
+
+        from ..utils.math import _spline_interp_matrix_np
+
+        self.A = _spline_interp_matrix_np(self.n_nodes, self.n_dense, method)  # [D, N]
+        self.P = np.linalg.pinv(self.A).astype(np.float32)                     # [N, D]
 
     def node2dense(self, nodes: jnp.ndarray) -> jnp.ndarray:
         """[..., Hnode+1, A] → [..., Hsample+1, A]."""

@@ -254,7 +254,7 @@ HERMITE_MAT = jnp.array(
 )
 
 # Catmull-Rom: interpolating cubic through the two middle knots.
-CATMULL_ROM_MAT = jnp.array(
+CATMULL_ROM_MAT = jnp.array(  # device copy; host mirror below
     [
         [0.0, 2.0, 0.0, 0.0],
         [-1.0, 0.0, 1.0, 0.0],
@@ -296,8 +296,9 @@ def cubic_hermite_evaluate(knots, t):
     return cubic_evaluate(knots, t, HERMITE_MAT)
 
 
-def spline_interp_matrix(n_nodes: int, n_dense: int, method: str = "spline") -> jnp.ndarray:
-    """Dense interpolation matrix A with ``u_dense = A @ u_nodes``.
+def _spline_interp_matrix_np(n_nodes: int, n_dense: int, method: str = "spline"):
+    """Host-side (numpy) core of :func:`spline_interp_matrix` — kept off the
+    device so the fit-matrix pinv never reads a device array back.
 
     Maps ``n_nodes`` control nodes (uniformly spaced over the horizon,
     endpoints included) to ``n_dense`` uniformly spaced dense samples.
@@ -313,7 +314,7 @@ def spline_interp_matrix(n_nodes: int, n_dense: int, method: str = "spline") -> 
     A = np.zeros((n_dense, n_nodes), dtype=np.float32)
     if n_nodes == 1:
         A[:, 0] = 1.0
-        return jnp.asarray(A)
+        return A
     # parameter of each dense sample in node units
     s = np.linspace(0.0, n_nodes - 1.0, n_dense)
     seg = np.clip(np.floor(s).astype(int), 0, n_nodes - 2)
@@ -323,7 +324,11 @@ def spline_interp_matrix(n_nodes: int, n_dense: int, method: str = "spline") -> 
             A[i, seg[i]] += 1.0 - t[i]
             A[i, seg[i] + 1] += t[i]
     elif method == "spline":
-        M = np.asarray(CATMULL_ROM_MAT)
+        # host mirror of CATMULL_ROM_MAT: np.asarray(jnp_array) is a
+        # device→host transfer, which on axon permanently degrades every
+        # later dispatch in the process to synchronous ~22 ms round-trips
+        M = np.array([[0.0, 2.0, 0.0, 0.0], [-1.0, 0.0, 1.0, 0.0],
+                      [2.0, -5.0, 4.0, -1.0], [-1.0, 3.0, -3.0, 1.0]]) / 2.0
         for i in range(n_dense):
             tv = np.array([1.0, t[i], t[i] ** 2, t[i] ** 3])
             w = tv @ M  # weights over knots [k-1, k, k+1, k+2]
@@ -332,10 +337,33 @@ def spline_interp_matrix(n_nodes: int, n_dense: int, method: str = "spline") -> 
                 A[i, k] += w[j]
     else:
         raise ValueError(f"unknown interp method {method}")
-    return jnp.asarray(A)
+    return A
+
+
+def spline_interp_matrix(n_nodes: int, n_dense: int, method: str = "spline") -> jnp.ndarray:
+    """Dense interpolation matrix A with ``u_dense = A @ u_nodes``.
+
+    Maps ``n_nodes`` control nodes (uniformly spaced over the horizon,
+    endpoints included) to ``n_dense`` uniformly spaced dense samples.
+    ``method``: "linear" or "spline" (Catmull-Rom, interpolating, with
+    clamped end conditions via endpoint knot duplication).
+
+    The matrix form keeps node->dense conversion a single [n_dense, n_nodes]
+    matmul, MXU-friendly and trivially batched; the pseudo-inverse provides
+    the least-squares dense->node conversion (``u2node``).
+    """
+    return jnp.asarray(_spline_interp_matrix_np(n_nodes, n_dense, method))
 
 
 def spline_fit_matrix(n_nodes: int, n_dense: int, method: str = "spline") -> jnp.ndarray:
-    """Least-squares inverse of :func:`spline_interp_matrix` (u2node)."""
-    A = spline_interp_matrix(n_nodes, n_dense, method)
-    return jnp.asarray(jnp.linalg.pinv(A))
+    """Least-squares inverse of :func:`spline_interp_matrix` (u2node).
+
+    Computed host-side: a device SVD here is pointless for a tiny constant
+    matrix, and on the axon TPU backend a single eager ``jnp.linalg.pinv``
+    at init time was measured to degrade EVERY subsequent dispatch in the
+    process from ~0.08 ms to ~22 ms (it pulls in a host-callback-based SVD
+    path that pins the runtime); numpy keeps the device path clean."""
+    import numpy as np
+
+    A = _spline_interp_matrix_np(n_nodes, n_dense, method)
+    return jnp.asarray(np.linalg.pinv(A).astype(np.float32))
