@@ -116,3 +116,64 @@ def rpy_to_matrix(rpy) -> np.ndarray:
     Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
     Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
     return Rz @ Ry @ Rx
+
+
+def _axis_angle_matrix(axis: np.ndarray, angle: float) -> np.ndarray:
+    """Rodrigues rotation matrix (host numpy)."""
+    a = np.asarray(axis, dtype=np.float64)
+    a = a / max(np.linalg.norm(a), 1e-12)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
+def host_forward_kinematics(model: RobotModel, joint_pos=None):
+    """Body poses in the BASE frame at a given joint configuration — pure
+    numpy, usable at construction time without touching the device (the env
+    ctors must stay free of device work; see engine.default_sim_params).
+
+    Returns (body_rot [nb, 3, 3], body_pos [nb, 3]) with body 0 = identity.
+    """
+    q = np.asarray(model.default_dof_pos if joint_pos is None else joint_pos,
+                   dtype=np.float64)
+    R = [np.eye(3)] * model.nb
+    p = [np.zeros(3)] * model.nb
+    for i in range(1, model.nb):
+        par = model.parent[i]
+        Rj = np.asarray(model.joint_origin_rot[i], dtype=np.float64)
+        pj = np.asarray(model.joint_origin_pos[i], dtype=np.float64)
+        axis = np.asarray(model.joint_axis[i], dtype=np.float64)
+        th = q[i - 1]
+        if model.joint_types[i - 1] == "prismatic":
+            Rq = np.eye(3)
+            pq = axis * th
+        else:
+            Rq = _axis_angle_matrix(axis, th)
+            pq = np.zeros(3)
+        R[i] = R[par] @ Rj @ Rq
+        p[i] = p[par] + R[par] @ pj + R[par] @ Rj @ pq
+    return np.stack(R).astype(np.float32), np.stack(p).astype(np.float32)
+
+
+def composite_rigid_body(model: RobotModel, joint_pos=None):
+    """Lump the whole robot at a fixed joint configuration into one rigid
+    body about the base origin: (total mass, composite inertia [3, 3],
+    com [3], geom offsets in base frame [ng, 3]).  Used by the pose-adapt
+    task, whose robot is unactuated (DOF_MODE_NONE) with gravity off —
+    effectively a rigid lump steered by a base wrench (reference
+    base_pose_adapt.py:638 applies the wrench to the base of the frozen
+    articulated robot)."""
+    R, p = host_forward_kinematics(model, joint_pos)
+    mass = np.asarray(model.mass, dtype=np.float64)
+    com_b = np.asarray(model.com, dtype=np.float64)
+    I_b = np.asarray(model.inertia, dtype=np.float64)
+    total = float(mass.sum())
+    coms_base = p + np.einsum("bij,bj->bi", R, com_b)     # body coms in base frame
+    com = (mass[:, None] * coms_base).sum(0) / max(total, 1e-9)
+    I = np.zeros((3, 3))
+    for i in range(model.nb):
+        Iw = R[i] @ I_b[i] @ R[i].T
+        r = coms_base[i] - com
+        I += Iw + mass[i] * ((r @ r) * np.eye(3) - np.outer(r, r))
+    gb = np.asarray(model.geom_body)
+    geom_off = p[gb] + np.einsum("gij,gj->gi", R[gb], np.asarray(model.geom_offset, np.float64))
+    return total, I.astype(np.float32), com.astype(np.float32), geom_off.astype(np.float32)

@@ -149,9 +149,9 @@ task_registry.register("anymal_c_rough_teacher", LeggedRobot,
                        _tv.anymal_c_rough_teacher_cfg,
                        lambda: anymal_c.anymal_c_ppo_cfg("anymal_c_rough_teacher"))
 task_registry.register("anymal_c_base_pose_adapt", _tv.AnymalCBasePoseAdapt,
-                       _tv.anymal_c_base_pose_adapt_cfg, None)
+                       _tv.anymal_c_base_pose_adapt_cfg, _tv.pose_adapt_train_cfg)
 task_registry.register("anymal_c_base_pose_ctrl", _tv.AnymalCBasePoseCtrl,
-                       _tv.anymal_c_base_pose_ctrl_cfg, None)
+                       _tv.anymal_c_base_pose_ctrl_cfg, _tv.pose_adapt_train_cfg)
 
 # ElSpider Air batch-rollout family
 task_registry.register("elspider_air_batch_rollout", elspider_air.ElSpider,
@@ -185,9 +185,9 @@ task_registry.register("elair_barrier_nav", RobotBatchRolloutNav,
 task_registry.register("elair_timberpile_nav", RobotBatchRolloutNav,
                        _tv.elair_nav_timberpile_cfg, None)
 task_registry.register("el_mini_base_pose_adapt", _tv.ElMiniBasePoseAdapt,
-                       _tv.el_mini_base_pose_adapt_cfg, None)
+                       _tv.el_mini_base_pose_adapt_cfg, _tv.pose_adapt_train_cfg)
 task_registry.register("el_mini_base_pose_ctrl", _tv.ElMiniBasePoseCtrl,
-                       _tv.el_mini_base_pose_ctrl_cfg, None)
+                       _tv.el_mini_base_pose_ctrl_cfg, _tv.pose_adapt_train_cfg)
 
 # CyberDog2 (reference cyber2_stand/hop/bounce/walk, envs/__init__.py:188-191)
 task_registry.register("cyber2_stand", _c2sd.CyberStandDanceEnv,

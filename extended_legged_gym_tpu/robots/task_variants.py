@@ -415,32 +415,57 @@ class ElMiniBasePoseCtrl(_RegisteredPoseAdapt):
 
 
 def anymal_c_base_pose_adapt_cfg() -> BasePoseAdaptCfg:
+    """ref anymal_c/pose_adapt/anymal_c_base_pose_adapt.py: the full ANYmal-C
+    body (composite mass/inertia + its collision spheres) steered by the
+    base wrench."""
+    import os
+
     cfg = BasePoseAdaptCfg()
-    cfg.control.mass = 52.0            # ANYmal-C base mass
-    cfg.control.inertia = 3.0
-    cfg.rewards.clearance_target = 0.3
+    cfg.asset.robot_model = os.path.join(
+        os.path.dirname(__file__), "data", "anymal_c.json")
+    cfg.asset.nominal_height = 0.5
     return cfg
 
 
 def anymal_c_base_pose_ctrl_cfg() -> BasePoseAdaptCfg:
+    """ref anymal_c_base_pose_ctrl.py — velocity-command emphasis."""
     cfg = anymal_c_base_pose_adapt_cfg()
-    cfg.rewards.progress = 3.0
-    cfg.rewards.velocity = -0.02
+    cfg.rewards.lin_vel_tracking = 1.5
+    cfg.rewards.ang_vel_tracking = 1.0
+    cfg.rewards.terrain_conformity_penalty = 0.3
     return cfg
 
 
 def el_mini_base_pose_adapt_cfg() -> BasePoseAdaptCfg:
+    """ref elspider_air/pose_adapt/el_mini_base_pose_adapt.py."""
+    import os
+
     cfg = BasePoseAdaptCfg()
-    cfg.control.mass = 20.0            # ElSpider-mini base mass
-    cfg.control.inertia = 1.2
-    cfg.rewards.clearance_target = 0.22
+    cfg.asset.robot_model = os.path.join(
+        os.path.dirname(__file__), "data", "elspider_air.json")
+    cfg.asset.nominal_height = 0.25
     return cfg
 
 
 def el_mini_base_pose_ctrl_cfg() -> BasePoseAdaptCfg:
     cfg = el_mini_base_pose_adapt_cfg()
-    cfg.rewards.progress = 3.0
-    cfg.rewards.velocity = -0.02
+    cfg.rewards.lin_vel_tracking = 1.5
+    cfg.rewards.ang_vel_tracking = 1.0
+    cfg.rewards.terrain_conformity_penalty = 0.3
+    return cfg
+
+
+def pose_adapt_train_cfg():
+    """ref base_pose_adapt_config.py BasePoseAdaptCfgPPO (:189-236):
+    [128, 64, 32] MLPs, 24 steps/env, adaptive-KL PPO."""
+    from ..envs.legged_robot_config import LeggedRobotCfgPPO
+
+    cfg = LeggedRobotCfgPPO()
+    cfg.policy.actor_hidden_dims = [128, 64, 32]
+    cfg.policy.critic_hidden_dims = [128, 64, 32]
+    cfg.runner.num_steps_per_env = 24
+    cfg.runner.max_iterations = 1500
+    cfg.runner.experiment_name = "base_pose_adapt"
     return cfg
 
 
