@@ -77,5 +77,11 @@ class StudentTeacherRecurrent(nn.Module):
         h, carry = self.memory(student_obs, carry)
         return self.student(h), jax.lax.stop_gradient(self.teacher(teacher_obs)), carry
 
+    def evaluate_teacher(self, teacher_obs):
+        return self.teacher(teacher_obs)
+
     def initialize_carry(self, key, batch_dims):
-        return self.memory.initialize_carry(key, batch_dims)
+        # plain constructor (no submodule access: works on unbound modules)
+        from .networks import rnn_carry
+
+        return rnn_carry(self.rnn_type, self.rnn_hidden_size, batch_dims)

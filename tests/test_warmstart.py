@@ -87,3 +87,34 @@ def test_distillation_runner_clones_reference_teacher():
     import jax.numpy as jnp
     a = student(jnp.zeros((3, 48)))
     assert a.shape == (3, 12)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+def test_recurrent_distillation_runner():
+    """Recurrent (GRU) student distills from the reference teacher: the
+    runner carries hidden state across windows and the truncated-BPTT update
+    reduces the cloning loss (reference student_teacher_recurrent.py +
+    distillation.py:107-153)."""
+    from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+    from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
+    from extended_legged_gym_tpu.rl.distillation_runner import DistillationRunner
+    from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
+
+    _, _, teacher = load_reference_policy(REF_CKPT, 48, 12)
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = 4
+    cfg.noise.add_noise = False
+    env = LeggedRobot(cfg)
+    runner = DistillationRunner(env, teacher, student_hidden_dims=(32,),
+                                num_steps_per_env=8, num_learning_epochs=2,
+                                gradient_length=4, recurrent=True,
+                                rnn_type="gru", rnn_hidden_size=32)
+    m0 = runner.learn(2, log_interval=100)
+    m1 = runner.learn(12, log_interval=100)
+    assert m1["behavior_loss"] < m0["behavior_loss"], (m0, m1)
+    pol = runner.get_student_policy()
+    import jax
+    import jax.numpy as jnp
+    carry = runner.alg.initialize_carry(jax.random.PRNGKey(0), (3,))
+    a, carry = pol(jnp.zeros((3, 48)), carry)
+    assert a.shape == (3, 12)
