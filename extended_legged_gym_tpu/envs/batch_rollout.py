@@ -158,7 +158,8 @@ class RobotBatchRollout(LeggedRobot):
         )
 
     def rollout_step(self, rs: RolloutState, actions: jnp.ndarray,
-                     env_params) -> Tuple[RolloutState, jnp.ndarray]:
+                     env_params, differentiable: bool = False
+                     ) -> Tuple[RolloutState, jnp.ndarray]:
         """One control step of a rollout env: decimated PD physics + reward.
         No resets, pushes, or command resampling (reference step_rollout,
         robot_batch_rollout.py:602-716 + post_physics_step_rollout :763-817)."""
@@ -166,7 +167,7 @@ class RobotBatchRollout(LeggedRobot):
         actions = jnp.clip(actions, -clip_a, clip_a)
         phys, torques, report, act_hidden, geom_pos = self._physics_substeps(
             rs.phys, actions, env_params, rs.last_dof_vel, rs.actuator_hidden,
-            rs.geom_pos)
+            rs.geom_pos, differentiable=differentiable)
 
         from ..utils.math import quat_rotate_inverse
 
@@ -227,13 +228,16 @@ class RobotBatchRollout(LeggedRobot):
                         feet_contact_time=feet_contact_time * contact_filt)
         return rs, rew
 
-    def rollout_batch(self, state: EnvState, all_us: jnp.ndarray) -> jnp.ndarray:
+    def rollout_batch(self, state: EnvState, all_us: jnp.ndarray,
+                      differentiable: bool = False) -> jnp.ndarray:
         """Evaluate S candidate control sequences per main env.
 
         all_us: [E, S, H+1, A] → per-step rewards [E, S, H+1]
         (reference rollout_batch, robot_traj_grad_sampling.py:249-280 —
         there it plays sequences through shared-sim rollout envs; here it is
-        a broadcast + scan, the reference's horizon loop :262-265)."""
+        a broadcast + scan, the reference's horizon loop :262-265).
+        ``differentiable=True`` routes physics through the XLA engine so the
+        whole rollout supports reverse-mode autodiff (polish/iLQR)."""
         E, S, H1, A = all_us.shape
         rs0 = self.main_to_rollout(state)
         # broadcast mains over the sample axis and flatten to one batch
@@ -246,7 +250,8 @@ class RobotBatchRollout(LeggedRobot):
         us = all_us.reshape(E * S, H1, A)
 
         def scan_fn(rs, u_t):
-            rs, rew = self.rollout_step(rs, u_t, ep)
+            rs, rew = self.rollout_step(rs, u_t, ep,
+                                        differentiable=differentiable)
             return rs, rew
 
         _, rews = jax.lax.scan(scan_fn, rs0, jnp.moveaxis(us, 1, 0))
@@ -336,8 +341,11 @@ class RobotTrajGradSampling(RobotBatchRollout):
         nodes, info = self.traj_sampler.optimize(nodes, rollout_fn, key, n_diffuse)
         to = self.cfg.trajectory_opt
         if to.polish_iters > 0:
+            # gradients flow through the XLA engine (Pallas kernels have no VJP)
+            diff_fn = lambda all_us: self.rollout_batch(state, all_us,
+                                                        differentiable=True)
             nodes, pinfo = self.traj_sampler.polish(
-                nodes, rollout_fn, to.polish_iters, to.polish_lr)
+                nodes, diff_fn, to.polish_iters, to.polish_lr)
             info = dict(info, **pinfo)
         return nodes, info
 

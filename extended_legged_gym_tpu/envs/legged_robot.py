@@ -526,12 +526,17 @@ class LeggedRobot:
 
     def _physics_substeps(self, phys: PhysState, actions: jnp.ndarray,
                           env_params: EnvPhysParams, last_dof_vel: jnp.ndarray,
-                          actuator_hidden=None, geom_pos=None):
+                          actuator_hidden=None, geom_pos=None,
+                          differentiable: bool = False):
         """Decimation loop: recompute torques each sim substep
         (ref legged_robot.py:96-103; actuator-net hidden advances per substep
         like the reference's per-step SEA evaluation, anymal.py:93-105).
-        ``geom_pos`` is the rough-Pallas plane anchor carry (None otherwise)."""
-        if self.pallas_decimated is not None:
+        ``geom_pos`` is the rough-Pallas plane anchor carry (None otherwise).
+        ``differentiable=True`` forces the pure-XLA engine path (the fused
+        Pallas kernels define no VJP) — used by the gradient-polish and
+        iLQR refinement stages that backprop through the rollout."""
+        use_pallas = not differentiable
+        if use_pallas and self.pallas_decimated is not None:
             if geom_pos is None and self.pallas_decimated.rough:
                 geom_pos = self._seed_geom_pos(phys)
             phys, tau, report, geom_pos = self.pallas_decimated(
@@ -541,9 +546,9 @@ class LeggedRobot:
         def substep(carry, _):
             ph, hid, gp = carry
             tau, hid = self._compute_torques(actions, ph, last_dof_vel, hid)
-            if self.pallas_step_rough is not None:
+            if use_pallas and self.pallas_step_rough is not None:
                 ph, rep, gp = self.pallas_step_rough(ph, tau, env_params, gp)
-            elif self.pallas_step is not None:
+            elif use_pallas and self.pallas_step is not None:
                 ph, rep = self.pallas_step(ph, tau, env_params)
             else:
                 ph, rep = jax.vmap(
@@ -551,7 +556,7 @@ class LeggedRobot:
                 )(self.model, self.terrain, self.sim_params, ph, tau, env_params)
             return (ph, hid, gp), (tau, rep)
 
-        if geom_pos is None and self.pallas_step_rough is not None:
+        if use_pallas and geom_pos is None and self.pallas_step_rough is not None:
             geom_pos = self._seed_geom_pos(phys)
         (phys, actuator_hidden, geom_pos), (taus, reps) = jax.lax.scan(
             substep, (phys, actuator_hidden, geom_pos), None,

@@ -193,12 +193,14 @@ task_registry.register("el_mini_base_pose_ctrl", _tv.ElMiniBasePoseCtrl,
 task_registry.register("cyber2_stand", _c2sd.CyberStandDanceEnv,
                        _c2sd.cyberdog2_standdance_cfg,
                        _c2sd.cyberdog2_standdance_ppo_cfg)
-task_registry.register("cyber2_walk", LeggedRobot,
-                       cyberdog2.cyberdog2_walk_cfg, cyberdog2.cyberdog2_ppo_cfg)
-task_registry.register("cyber2_hop", LeggedRobot,
-                       cyberdog2.cyberdog2_walk_cfg, cyberdog2.cyberdog2_ppo_cfg)
-task_registry.register("cyber2_bounce", LeggedRobot,
-                       cyberdog2.cyberdog2_walk_cfg, cyberdog2.cyberdog2_ppo_cfg)
+from . import cyberdog2_walk as _c2w  # noqa: E402
+
+task_registry.register("cyber2_walk", _c2w.CyberWalkEnv,
+                       _c2w.cyberdog2_c2walk_cfg, _c2w.cyberdog2_c2walk_ppo_cfg)
+task_registry.register("cyber2_hop", _c2w.CyberHopEnv,
+                       _c2w.cyberdog2_c2walk_cfg, _c2w.cyberdog2_c2walk_ppo_cfg)
+task_registry.register("cyber2_bounce", _c2w.CyberBounceEnv,
+                       _c2w.cyberdog2_c2walk_cfg, _c2w.cyberdog2_c2walk_ppo_cfg)
 
 # Franka batch rollout
 task_registry.register("franka_batch_rollout", franka.Franka,

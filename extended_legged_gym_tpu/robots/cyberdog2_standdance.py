@@ -294,6 +294,20 @@ def cyberdog2_standdance_cfg() -> LeggedRobotCfg:
     sc.dof_pos_limits = -10.0
     sc.torques = 0.0
     sc.collision = -2.0
+    # reward curriculum (reference cyberdog2/legged_robot.py:1014-1021
+    # update_reward_curriculum: negative scales start at cl_init=0.6 x final
+    # and step by cl_step=0.2 x final each time the mean clipped episode
+    # return exceeds 0.2, until reaching the final value) — expressed here
+    # through the multi-stage reward table the runner already drives
+    cfg.rewards.multi_stage_rewards = True
+    cfg.rewards.reward_min_stage = 0
+    cfg.rewards.reward_max_stage = 2
+    cfg.rewards.reward_stage_threshold = 0.2
+    from ..utils.config import class_to_dict
+
+    for name, v in class_to_dict(sc).items():
+        if isinstance(v, (int, float)) and v < 0:
+            setattr(sc, name, [0.6 * v, 0.8 * v, 1.0 * v])
     return cfg
 
 
