@@ -55,11 +55,14 @@ class TrajectoryOptCfg:
     gamma: float = 1.0
     interp_method: str = "spline"
     compute_predictions: bool = True
-    # differentiable gradient-polish stage after the diffusion sweep
-    # (BASELINE "QP/Riccati refinement"; no reference equivalent — PhysX is
-    # not differentiable)
+    # refinement stage after the diffusion sweep (BASELINE "QP/Riccati
+    # refinement"; no reference equivalent — PhysX is not differentiable):
+    # "gradient" = normalized-gradient ascent with line search,
+    # "ilqr"     = time-varying LQR (Riccati) sweeps on engine linearizations
     polish_iters: int = 0
+    polish_method: str = "gradient"
     polish_lr: float = 0.05
+    ilqr_reg: float = 1.0
 
 
 @configclass
@@ -341,13 +344,85 @@ class RobotTrajGradSampling(RobotBatchRollout):
         nodes, info = self.traj_sampler.optimize(nodes, rollout_fn, key, n_diffuse)
         to = self.cfg.trajectory_opt
         if to.polish_iters > 0:
-            # gradients flow through the XLA engine (Pallas kernels have no VJP)
-            diff_fn = lambda all_us: self.rollout_batch(state, all_us,
-                                                        differentiable=True)
-            nodes, pinfo = self.traj_sampler.polish(
-                nodes, diff_fn, to.polish_iters, to.polish_lr)
+            if to.polish_method == "ilqr":
+                nodes, pinfo = self.polish_riccati(state, nodes, to.polish_iters)
+            else:
+                # gradients flow through the XLA engine (Pallas kernels have
+                # no VJP)
+                diff_fn = lambda all_us: self.rollout_batch(state, all_us,
+                                                            differentiable=True)
+                nodes, pinfo = self.traj_sampler.polish(
+                    nodes, diff_fn, to.polish_iters, to.polish_lr)
             info = dict(info, **pinfo)
         return nodes, info
+
+    # ---- Riccati/iLQR refinement (BASELINE "QP/Riccati refinement sweep") --
+
+    def _rollout_dyn_split(self, rs: RolloutState):
+        """Split RolloutState into the DYNAMIC fields the rollout step
+        actually propagates (the iLQR state) and the rest (constant context
+        per solve).  Derived quantities (torques, body-frame velocities, foot
+        kinematics, contact forces) are recomputed from ``phys`` every step,
+        so carrying them in the linearized state would only pad the Jacobian
+        with zero rows."""
+        dyn_fields = ["phys", "last_actions", "last_dof_vel", "feet_air_time",
+                      "feet_contact_time", "last_contacts", "t"]
+        if rs.actuator_hidden is not None:
+            dyn_fields.append("actuator_hidden")
+        if rs.geom_pos is not None:
+            dyn_fields.append("geom_pos")
+        dyn = {f: getattr(rs, f) for f in dyn_fields}
+        return dyn
+
+    def polish_riccati(self, state: EnvState, nodes: jnp.ndarray,
+                       n_iters: int) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Refine the mean node trajectories with batched time-varying LQR
+        sweeps over engine linearizations (trajopt/riccati.py), then project
+        back to nodes.  Monotone at the node level: the projected result is
+        kept per env only where it beats the incumbent (spline projection of
+        an iLQR-optimal dense sequence can lose the gain)."""
+        from ..trajopt.riccati import ilqr_solve_batched, make_flattener
+
+        to = self.cfg.trajectory_opt
+        rs0 = self.main_to_rollout(state)
+        dyn0 = self._rollout_dyn_split(rs0)
+        template = jax.tree.map(lambda x: x[0], dyn0)
+        flatten, unflatten, _ = make_flattener(template)
+        ep = state.env_params
+
+        def step_fn(x, u, ctx):
+            rs_ctx, ep_slice = ctx                   # per-env slices (no batch)
+            dyn = unflatten(x)
+            rs = jax.tree.map(lambda l: l[None], rs_ctx).replace(
+                **{k: jax.tree.map(lambda l: l[None], v)
+                   for k, v in dyn.items()})
+            ep1 = jax.tree.map(lambda l: l[None], ep_slice)
+            rs_n, rew = self.rollout_step(rs, u[None], ep1, differentiable=True)
+            dyn_n = self._rollout_dyn_split(
+                jax.tree.map(lambda l: l[0], rs_n))
+            return flatten(dyn_n), rew[0]
+
+        x0 = jax.vmap(flatten)(dyn0)                       # [E, n]
+        us = self.node2u_batch(nodes)                      # [E, Hs+1, A]
+        ctx = (rs0, ep)   # vmapped per env by ilqr_solve_batched
+        us_opt, ilqr_info = ilqr_solve_batched(
+            step_fn, x0, us, ctx=ctx, n_iters=n_iters, reg_init=to.ilqr_reg)
+
+        new_nodes = self.u2node_batch(us_opt)
+        new_nodes = new_nodes.at[:, 0, :].set(nodes[:, 0, :])  # executing node pinned
+
+        # accept per env only if the projected nodes actually score better
+        def node_score(nds):
+            rew = self.rollout_batch(state, self.node2u_batch(nds)[:, None])[:, 0]
+            disc = to.gamma ** jnp.arange(rew.shape[-1], dtype=jnp.float32)
+            return jnp.sum(rew * disc, axis=-1)            # [E]
+
+        J_old, J_new = node_score(nodes), node_score(new_nodes)
+        better = (J_new > J_old)[:, None, None]
+        nodes = jnp.where(better, new_nodes, nodes)
+        return nodes, dict(
+            polish_gain=jnp.maximum(J_new - J_old, 0.0).mean(),
+            ilqr_accept=ilqr_info.improved.mean())
 
     def shift_trajectory_batch(self, nodes: jnp.ndarray,
                                append_action: Optional[jnp.ndarray] = None):

@@ -202,3 +202,94 @@ def test_polish_through_env_config():
         st, n, k, n_diffuse=1))(s, nodes, jax.random.PRNGKey(1))
     assert "polish_gain" in info
     assert bool(jnp.all(jnp.isfinite(nodes)))
+
+
+# ---------------------------------------------------------------------------
+# Riccati / iLQR refinement (trajopt/riccati.py — BASELINE "QP/Riccati
+# refinement sweep"; no reference code, design per VERDICT r1 #5)
+# ---------------------------------------------------------------------------
+
+def _di_step(x, u):
+    """Double-integrator flat step for iLQR: x=[pos, vel]."""
+    target = 30.0
+    vel = x[1] + u[0]
+    pos = x[0] + vel
+    r = -((pos - target) ** 2) / 100.0 - 0.01 * u[0] ** 2
+    return jnp.stack([pos, vel]), r
+
+
+@pytest.mark.parametrize("hessian", ["exact", "proximal"])
+def test_ilqr_converges_double_integrator(hessian):
+    from extended_legged_gym_tpu.trajopt.riccati import ilqr_solve
+
+    x0 = jnp.zeros(2)
+    us = jnp.zeros((32, 1))
+    us_opt, info = jax.jit(lambda a, b: ilqr_solve(
+        _di_step, a, b, n_iters=8, hessian=hessian,
+        prox_x=0.02, prox_u=0.05))(x0, us)
+    assert float(info.J) > float(info.J0) + 100.0          # -288 → ~-5
+    assert float(info.J) > -12.0
+    # monotone by construction
+    assert bool(jnp.all(jnp.isfinite(us_opt)))
+
+
+def test_ilqr_beats_gradient_polish_at_equal_budget():
+    """VERDICT r1 #5 acceptance: measurable solve-quality gain vs the
+    gradient polish at equal iteration budget on the double integrator."""
+    from extended_legged_gym_tpu.trajopt.riccati import ilqr_solve_batched
+
+    target = 30.0
+    cfg = TrajOptConfig(num_samples=31, horizon_samples=32, horizon_nodes=8,
+                        noise_scaling=2.0, update_method="mppi", gamma=1.0)
+    opt = TrajGradSampling(cfg, num_envs=2, num_actions=1)
+
+    def rollout_fn(all_us):
+        pos = double_integrator_rollout(all_us)
+        return -jnp.square(pos[..., 1:] - target) / 100.0 \
+            - 0.01 * jnp.square(all_us[..., 0])
+
+    def score_dense(us):                                    # [E, T, 1] → [E]
+        return rollout_fn(us[:, None])[:, 0].sum(-1)
+
+    nodes = opt.init_node_trajectories()
+    nodes, _ = jax.jit(lambda n, k: opt.optimize(n, rollout_fn, k, 3))(
+        nodes, jax.random.PRNGKey(0))
+
+    n_budget = 6
+    grad_nodes, _ = jax.jit(lambda n: opt.polish(
+        n, rollout_fn, n_iters=n_budget, lr=0.3))(nodes)
+    J_grad = score_dense(opt.node2u(grad_nodes)[:, :-1])
+
+    x0 = jnp.zeros((2, 2))
+    us0 = opt.node2u(nodes)[:, :-1]                         # [E, 32, 1]
+    us_ilqr, info = jax.jit(lambda a, b: ilqr_solve_batched(
+        _di_step, a, b, n_iters=n_budget, hessian="exact"))(x0, us0)
+    J_ilqr = score_dense(us_ilqr)
+    # Riccati feedback solves the LQR structure the first-order polish can't
+    assert float((J_ilqr - J_grad).min()) > 5.0, (J_ilqr, J_grad)
+
+
+@pytest.mark.slow
+def test_ilqr_polish_through_env_config():
+    """polish_method='ilqr' wires through optimize_all_trajectories and is
+    monotone at the node level (slow: first-order AD through the physics
+    engine compiles for minutes on CPU)."""
+    from extended_legged_gym_tpu.utils.task_registry import task_registry
+    import extended_legged_gym_tpu.robots  # noqa
+
+    cfg, _ = task_registry.get_cfgs("anymal_c_traj_grad_sampling")
+    cfg.env.num_envs = 2
+    cfg.trajectory_opt.num_samples = 3
+    cfg.trajectory_opt.horizon_samples = 4
+    cfg.trajectory_opt.horizon_nodes = 2
+    cfg.trajectory_opt.num_diffuse_steps = 1
+    cfg.trajectory_opt.polish_iters = 2
+    cfg.trajectory_opt.polish_method = "ilqr"
+    env, _ = task_registry.make_env("anymal_c_traj_grad_sampling", env_cfg=cfg)
+    s = env.reset_all(jax.random.PRNGKey(0))
+    nodes = jnp.zeros((2, 3, env.num_actions))
+    nodes2, info = jax.jit(lambda st, n, k: env.optimize_all_trajectories(
+        st, n, k, n_diffuse=1))(s, nodes, jax.random.PRNGKey(1))
+    assert "polish_gain" in info and "ilqr_accept" in info
+    assert float(info["polish_gain"].mean()) >= 0.0         # monotone
+    assert bool(jnp.all(jnp.isfinite(nodes2)))
