@@ -366,3 +366,29 @@ class OnPolicyRunner:
     def initial_carries(self, batch_size: Optional[int] = None):
         assert self.recurrent, "carries only exist for recurrent policies"
         return self._init_carries(batch_size or self.env.num_envs)
+
+    def export_policy(self, path: str):
+        """Write deployment artifacts: TorchScript (the reference's deploy
+        format, helpers.py:302-341) + StableHLO (the XLA-native portable
+        artifact).  Returns the list of files written."""
+        from ..utils.export import (export_policy_as_jit,
+                                    export_policy_stablehlo,
+                                    export_recurrent_policy_as_jit)
+
+        params = jax.device_get(self.state.ppo.params)
+        norm = self.state.obs_norm
+        act = getattr(self.network, "activation", "elu")
+        files = []
+        if self.recurrent:
+            files.append(export_recurrent_policy_as_jit(
+                params, self.env.num_obs, path,
+                rnn_type=self.network.rnn_type,
+                rnn_hidden_size=self.network.rnn_hidden_size,
+                activation=act, normalizer=norm))
+        else:
+            files.append(export_policy_as_jit(params, path, activation=act,
+                                              normalizer=norm))
+            policy = self.get_inference_policy()
+            files.append(export_policy_stablehlo(
+                policy, jnp.zeros((1, self.env.num_obs)), path))
+        return files

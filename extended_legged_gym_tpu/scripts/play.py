@@ -26,6 +26,13 @@ def play(args):
     runner, train_cfg = task_registry.make_alg_runner(env, args.task, args, train_cfg)
     policy = runner.get_inference_policy()
 
+    # EXPORT_POLICY=1 writes deployment artifacts next to the checkpoint
+    # (reference play.py EXPORT_POLICY flag → helpers.py:302-341)
+    if os.environ.get("EXPORT_POLICY"):
+        out_dir = os.path.join(runner.log_dir or ".", "exported")
+        for f_ in runner.export_policy(out_dir):
+            print("exported policy ->", f_)
+
     from extended_legged_gym_tpu.utils.plot_logger import Logger
 
     state = env.reset_all(jax.random.PRNGKey(args.seed or 0))
