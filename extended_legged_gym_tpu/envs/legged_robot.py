@@ -944,9 +944,30 @@ class LeggedRobot:
         return jnp.any(jnp.linalg.norm(f[..., :2], axis=-1)
                        > 5 * jnp.abs(f[..., 2]), axis=1).astype(jnp.float32)
 
+    def _reward_feet_stumble_liftup(self, s, ctx):
+        # reward lifting a foot that is stumbling on a vertical surface
+        # (ref rew mixin :126-130)
+        f = s.geom_forces[:, self.feet_geoms]
+        stumble = jnp.linalg.norm(f[..., :2], axis=-1) > 5 * jnp.abs(f[..., 2])
+        return jnp.sum(stumble * s.foot_velocities[..., 2], axis=1)
+
     def _reward_feet_slip(self, s, ctx):
         vxy2 = jnp.sum(jnp.square(s.foot_velocities[..., :2]), axis=-1)
         return jnp.sum(ctx["contact_filt"] * vxy2, axis=1)
+
+    def _reward_jump_air(self, s, ctx):
+        # penalize fewer than half the feet on the ground with long air times
+        # (ref rew mixin :142-147)
+        airborne = ~ctx["contact_filt"]
+        n_feet = len(self.feet_geoms)
+        return jnp.clip(
+            jnp.sum(airborne * (ctx["feet_air_time"] - 0.5), axis=1) - n_feet / 2,
+            min=0.0)
+
+    def _reward_four_footup(self, s, ctx):
+        # small bonus when ALL feet are off the ground (ref rew mixin :208-214)
+        all_up = jnp.all(s.geom_forces[:, self.feet_geoms, 2] < 1.0, axis=1)
+        return 0.1 * all_up.astype(jnp.float32)
 
     def _reward_feet_air_time(self, s, ctx):
         rew = jnp.sum((ctx["feet_air_time"] - 0.5) * ctx["first_contact"], axis=1)

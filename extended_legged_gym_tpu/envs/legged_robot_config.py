@@ -134,6 +134,9 @@ class RewardScalesCfg:
     feet_air_time: float = 1.0
     collision: float = -1.0
     feet_stumble: float = -0.0
+    feet_stumble_liftup: float = 0.0
+    jump_air: float = -0.0
+    four_footup: float = 0.0
     action_rate: float = -0.01
     stand_still: float = -0.0
 

@@ -149,3 +149,64 @@ class TerrainEstimatorRunner:
             return self.network.apply(params, depth, proprio, carry)
 
         return estimate
+
+    # ------------------------------------------------------------------
+    # play / eval (reference terrain_estimator_runner.py:637-732)
+    # ------------------------------------------------------------------
+
+    def play(self, num_steps: int = 200, log_interval: int = 100
+             ) -> Dict[str, float]:
+        """Inference loop: step the env (pretrained policy or random actions),
+        predict raycast distances from depth+proprio, and score against the
+        raycast ground truth — the reference's play mode (:637-720) minus the
+        on-screen viewer (headless: predicted-point clouds go to the returned
+        trace / plot logger instead)."""
+        env = self.env
+        estimate = self.get_estimator()
+        env_state = env.reset_all(self.key)
+        carry = self.carry0
+        step = jax.jit(env.step)
+        mses, maes = [], []
+        for it in range(num_steps):
+            self.key, k = jax.random.split(self.key)
+            depth = self.camera.render(env_state.phys.base_pos,
+                                       env_state.phys.base_quat)
+            proprio = self._proprio(env_state)
+            gt = self.raycaster.cast(env_state.phys.base_pos,
+                                     env_state.phys.base_quat).distance
+            pred, carry = estimate(depth, proprio, carry)
+            mse = float(jnp.mean(jnp.square(pred - gt)))
+            mae = float(jnp.mean(jnp.abs(pred - gt)))
+            mses.append(mse)
+            maes.append(mae)
+            if it % log_interval == 0:
+                print(f"terrain-est play step {it}: MSE={mse:.4f} MAE={mae:.4f}",
+                      flush=True)
+            if self.policy is not None:
+                actions = self.policy(env_state.obs)
+            else:
+                actions = 0.3 * jax.random.normal(
+                    k, (env.num_envs, env.num_actions))
+            env_state = step(env_state, actions)
+            carry = jax.tree.map(
+                lambda h: jnp.where(env_state.reset_buf[:, None],
+                                    jnp.zeros_like(h), h), carry)
+        stats = dict(mse=float(np.mean(mses)), mae=float(np.mean(maes)),
+                     mse_last=mses[-1], mae_last=maes[-1])
+        if self.writer:
+            self.writer.write(0, {f"play_{k}": v for k, v in stats.items()})
+        return stats
+
+    def predictions_to_points(self, distances: jnp.ndarray, base_pos: jnp.ndarray,
+                              base_quat: jnp.ndarray) -> jnp.ndarray:
+        """Predicted raycast distances → 3D world points along the sensor's
+        ray pattern (reference _convert_raycast_distances_to_points :279-333),
+        for visualization/export."""
+        from ..utils.math import quat_rotate, yaw_quat
+
+        rc = self.raycaster
+        q = yaw_quat(base_quat) if rc.cfg.attach_yaw_only else base_quat
+        origins = base_pos[:, None, :] + quat_rotate(
+            q[:, None, :], jnp.asarray(rc.ray_starts + rc.offset)[None, :, :])
+        dirs = quat_rotate(q[:, None, :], jnp.asarray(rc.ray_dirs)[None, :, :])
+        return origins + distances[..., None] * dirs

@@ -112,11 +112,11 @@ def update_cfg_from_args(env_cfg, train_cfg, args):
     return env_cfg, train_cfg
 
 
-def get_args() -> argparse.Namespace:
+def get_args(default_task: str = "anymal_c_flat") -> argparse.Namespace:
     """CLI args (reference helpers.py:269-299; device flags dropped — JAX
     owns placement)."""
     parser = argparse.ArgumentParser("extended_legged_gym_tpu")
-    parser.add_argument("--task", type=str, default="anymal_c_flat")
+    parser.add_argument("--task", type=str, default=default_task)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--experiment_name", type=str, default=None)
     parser.add_argument("--run_name", type=str, default=None)

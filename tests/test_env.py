@@ -142,3 +142,54 @@ def test_base_contact_terminates():
             terminated = True
             break
     assert terminated
+
+
+def test_minor_reward_terms(env, state0):
+    """feet_stumble_liftup / jump_air / four_footup semantics
+    (reference legged_robot_rew_mixin.py:126-130, :142-147, :208-214)."""
+    e, s = env, state0
+    B, F = 8, len(e.feet_geoms)
+
+    # four_footup: force all feet unloaded -> 0.1 each; loaded -> 0
+    gf = jnp.zeros_like(s.geom_forces)
+    r = e._reward_four_footup(s.replace(geom_forces=gf), {})
+    np.testing.assert_allclose(np.asarray(r), 0.1, atol=1e-6)
+    gf_loaded = gf.at[:, e.feet_geoms, 2].set(50.0)
+    r = e._reward_four_footup(s.replace(geom_forces=gf_loaded), {})
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+
+    # feet_stumble_liftup: lateral-dominant contact force x upward foot vel
+    gf_stumble = gf.at[:, e.feet_geoms[0], 0].set(100.0)  # pure lateral
+    fv = jnp.zeros_like(s.foot_velocities).at[:, 0, 2].set(0.7)
+    r = e._reward_feet_stumble_liftup(
+        s.replace(geom_forces=gf_stumble, foot_velocities=fv), {})
+    np.testing.assert_allclose(np.asarray(r), 0.7, atol=1e-5)
+    # no stumble (vertical-dominant force): zero
+    r = e._reward_feet_stumble_liftup(
+        s.replace(geom_forces=gf_loaded, foot_velocities=fv), {})
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+
+    # jump_air: all feet airborne 1s -> sum(0.5)*F - F/2, clipped at 0
+    ctx = dict(contact_filt=jnp.zeros((B, F), bool),
+               feet_air_time=jnp.full((B, F), 1.0))
+    r = e._reward_jump_air(s, ctx)
+    np.testing.assert_allclose(np.asarray(r), 0.5 * F - F / 2, atol=1e-5)
+    # all feet grounded: zero
+    ctx = dict(contact_filt=jnp.ones((B, F), bool),
+               feet_air_time=jnp.zeros((B, F)))
+    np.testing.assert_allclose(np.asarray(e._reward_jump_air(s, ctx)), 0.0)
+
+
+def test_minor_reward_terms_registerable():
+    """Nonzero scales for the new terms resolve through the reflection table."""
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = 2
+    cfg.rewards.scales.feet_stumble_liftup = 0.1
+    cfg.rewards.scales.jump_air = -0.5
+    cfg.rewards.scales.four_footup = 0.2
+    e = LeggedRobot(cfg)
+    for n in ("feet_stumble_liftup", "jump_air", "four_footup"):
+        assert n in e.reward_names
+    s = e.reset_all(jax.random.PRNGKey(0))
+    s = jax.jit(e.step)(s, jnp.zeros((2, 12)))
+    assert bool(jnp.all(jnp.isfinite(s.rew)))

@@ -27,3 +27,37 @@ def test_terrain_estimator_learns():
     import jax.numpy as jnp
     pred, _ = est(jnp.zeros((4, 8, 16)), jnp.zeros((4, 9)), runner.carry0)
     assert pred.shape == (4, 8)
+
+
+def test_terrain_estimator_play_and_points():
+    """play/eval path (reference terrain_estimator_runner.py:637) + the
+    distance→3D-point conversion (:279-333)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = 2
+    cfg.depth.camera_type = "Warp"
+    cfg.depth.original = [24, 12]
+    cfg.depth.resized = [16, 8]
+    cfg.raycaster.enable_raycast = True
+    cfg.raycaster.ray_pattern = "spherical"
+    cfg.raycaster.spherical_num_azimuth = 4
+    cfg.raycaster.spherical_num_elevation = 2
+    cfg.raycaster.max_distance = 5.0
+    env = LeggedRobot(cfg)
+    runner = TerrainEstimatorRunner(env, num_steps_per_env=2)
+    stats = runner.play(num_steps=3, log_interval=100)
+    assert set(stats) == {"mse", "mae", "mse_last", "mae_last"}
+    assert np.isfinite(stats["mse"]) and stats["mse"] >= 0
+
+    # point conversion: distance 0 lands on the ray origin; max distance
+    # lands origin + d*dir (unit dirs)
+    B, R = 2, runner.raycaster.num_rays
+    pos = jnp.zeros((B, 3)).at[:, 2].set(0.6)
+    quat = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (B, 1))
+    pts0 = runner.predictions_to_points(jnp.zeros((B, R)), pos, quat)
+    assert pts0.shape == (B, R, 3)
+    pts5 = runner.predictions_to_points(jnp.full((B, R), 5.0), pos, quat)
+    d = np.linalg.norm(np.asarray(pts5 - pts0), axis=-1)
+    np.testing.assert_allclose(d, 5.0, atol=1e-4)
