@@ -28,7 +28,15 @@ def init_multi_host(coordinator_address: Optional[str] = None,
             num_processes=int(num_processes or os.environ.get("NUM_PROCESSES", 1)),
             process_id=int(process_id or os.environ.get("PROCESS_ID", 0)),
         )
-    jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(**kwargs)
+    else:
+        # no explicit coordinator: let JAX auto-detect a cluster environment
+        # (TPU metadata, SLURM, ...); on a plain single machine there is
+        # nothing to join, which is not an error — run single-process
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass
     return dict(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
