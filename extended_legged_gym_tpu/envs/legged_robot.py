@@ -225,7 +225,10 @@ class LeggedRobot:
         self.command_ranges = dict(
             lin_vel_x=np.array(rng.lin_vel_x), lin_vel_y=np.array(rng.lin_vel_y),
             ang_vel_yaw=np.array(rng.ang_vel_yaw), heading=np.array(rng.heading))
-        self.resampling_interval = max(1, int(cfg.commands.resampling_time / self.dt))
+        # clamp to int32 (episode_length dtype): resampling_time=inf-like
+        # values mean "never resample" and must not overflow the modulo
+        self.resampling_interval = int(np.clip(
+            cfg.commands.resampling_time / self.dt, 1, np.iinfo(np.int32).max))
         self.push_interval = max(1, int(cfg.domain_rand.push_interval_s / self.dt))
 
         # --- rewards: reflection over _reward_* methods, scales × dt

@@ -112,16 +112,16 @@ class FootTrackElSpider(ElSpider):
 
     def __init__(self, cfg, **kw):
         super().__init__(cfg, **kw)
-        from ..utils.raibert_planner import RaibertPlanner, RaibertPlannerCfg
+        from ..utils.raibert_planner import RaibertHeuristic, RaibertHeuristicCfg
 
-        pcfg = RaibertPlannerCfg()
+        pcfg = RaibertHeuristicCfg()
         # hip layout in MODEL foot order (alphabetical: LB, LF, LM, RB, RF, RM)
         pcfg.hip_offsets = [[-0.3, 0.25], [0.3, 0.25], [0.0, 0.28],
                             [-0.3, -0.25], [0.3, -0.25], [0.0, -0.28]]
         # tripod groups: (LB, LF, RM) vs (LM, RB, RF)
         pcfg.foot_phases = [0.0, 0.0, 0.5, 0.5, 0.5, 0.0]
         pcfg.base_height = cfg.rewards.base_height_target
-        self.planner = RaibertPlanner(pcfg)
+        self.planner = RaibertHeuristic(pcfg)
 
     def _refs(self, s):
         t = s.episode_length.astype(jnp.float32) * self.dt
