@@ -1,9 +1,10 @@
-"""Metrics writers: JSONL always; TensorBoard when torch is importable.
+"""Metrics writers: JSONL always; TensorBoard / W&B / Neptune when available.
 
 Replaces the reference's writer stack (reference:
 rsl_rl/rsl_rl/runners/on_policy_runner.py:488-506, utils/wandb_utils.py,
-neptune_utils.py).  W&B/Neptune have no network egress here; the JSONL log is
-the canonical record and is trivially uploadable to either."""
+neptune_utils.py).  W&B/Neptune adapters activate only when their packages
+import AND credentials exist (this image has neither — no egress), so the
+JSONL log is the canonical record either way."""
 from __future__ import annotations
 
 import json
@@ -12,30 +13,81 @@ import time
 from typing import Dict, Optional
 
 
+class _WandbSink:
+    """reference wandb_utils.WandbSummaryWriter analog."""
+
+    def __init__(self, log_dir: str, project: Optional[str] = None):
+        import wandb  # raises if absent → caller gates
+
+        self.run = wandb.init(project=project or
+                              os.environ.get("WANDB_PROJECT", "elg_tpu"),
+                              dir=log_dir, resume="allow")
+
+    def add_scalar(self, k, v, step):
+        self.run.log({k: v}, step=step)
+
+    def close(self):
+        self.run.finish()
+
+
+class _NeptuneSink:
+    """reference neptune_utils.NeptuneSummaryWriter analog."""
+
+    def __init__(self, log_dir: str, project: Optional[str] = None):
+        import neptune  # raises if absent → caller gates
+
+        self.run = neptune.init_run(project=project)
+
+    def add_scalar(self, k, v, step):
+        self.run[k].append(v, step=step)
+
+    def close(self):
+        self.run.stop()
+
+
 class MetricsWriter:
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    """Fan-out writer.  ``backend``: "tensorboard" (default), "wandb",
+    "neptune" — mirroring cfg.runner.logger in the reference dummy_config."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True,
+                 backend: Optional[str] = None):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
-        self.tb = None
-        if use_tensorboard:
+        self.sinks = []
+        backend = backend or os.environ.get("ELG_LOGGER", "tensorboard")
+        if use_tensorboard and backend == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self.tb = SummaryWriter(log_dir=log_dir, flush_secs=30)
+                self.sinks.append(SummaryWriter(log_dir=log_dir, flush_secs=30))
             except Exception:
-                self.tb = None
+                pass
+        elif backend == "wandb":
+            try:
+                self.sinks.append(_WandbSink(log_dir))
+            except Exception:
+                pass
+        elif backend == "neptune":
+            try:
+                self.sinks.append(_NeptuneSink(log_dir))
+            except Exception:
+                pass
+
+    @property
+    def tb(self):  # backward compat
+        return self.sinks[0] if self.sinks else None
 
     def write(self, step: int, metrics: Dict[str, float]):
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
-        if self.tb is not None:
+        for sink in self.sinks:
             for k, v in metrics.items():
-                self.tb.add_scalar(k, float(v), step)
+                sink.add_scalar(k, float(v), step)
 
     def close(self):
         self._f.close()
-        if self.tb is not None:
-            self.tb.close()
+        for sink in self.sinks:
+            sink.close()

@@ -66,7 +66,8 @@ def test_optimize_improves_reward(env, state0):
     assert rb[-1].mean() >= rb[0].mean() - 1e-3
 
 
-def test_mpc_step_runs(env, state0):
+@pytest.mark.slow  # full mpc_step also exercised by test_mpc_gait.py and
+def test_mpc_step_runs(env, state0):  # test_warmstart (policy-append path)
     nodes = env.traj_sampler.init_node_trajectories()
     step = jax.jit(lambda s, n, k: env.mpc_step(s, n, k, n_diffuse=2))
     s, n = state0, nodes

@@ -182,6 +182,7 @@ def test_gradient_polish_improves_trajectory():
                                np.asarray(nodes[:, 0]), atol=1e-6)
 
 
+@pytest.mark.slow  # env-level wiring; module-level polish covered fast above
 def test_polish_through_env_config():
     """polish_iters wires through RobotTrajGradSampling.optimize_all_trajectories."""
     from extended_legged_gym_tpu.utils.task_registry import task_registry
