@@ -1,16 +1,19 @@
-"""Gait-quality evaluation for the flagship sampling-MPC task.
+"""Gait-quality evaluation for sampling-MPC tasks.
 
 Runs the full receding-horizon loop (reference §3.2 call stack:
-optimize_all_trajectories → execute first action → shift) on
-anymal_c_traj_grad_sampling with RL warm-start, pinned 0.7 m/s forward
-commands, and reports achieved-speed ratio + uprightness — the acceptance
-profile of doc/anymal_tasks.md for the DIAL-MPC task.
+optimize_all_trajectories → execute first action → shift) with RL warm-start
+where a reference checkpoint exists, pinned forward commands, and reports
+achieved-speed ratio + uprightness — the acceptance profile of
+doc/anymal_tasks.md for the DIAL-MPC task.
 
-Usage: python -m extended_legged_gym_tpu.scripts.eval_mpc_gait [ckpt.pt]
+Usage:
+  python -m extended_legged_gym_tpu.scripts.eval_mpc_gait
+      [--ckpt path.pt] [--polish gradient|ilqr] [--polish-iters N]
+      [--cycles N] [--cmd V] [--envs E]
 Writes one JSON line; the repo's GAIT_r*.json artifacts are its output.
 """
+import argparse
 import json
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -18,15 +21,26 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt")
+    ap.add_argument("--polish", default=None, choices=[None, "gradient", "ilqr"])
+    ap.add_argument("--polish-iters", type=int, default=None)
+    ap.add_argument("--cycles", type=int, default=300)
+    ap.add_argument("--cmd", type=float, default=0.7)
+    ap.add_argument("--envs", type=int, default=8)
+    args = ap.parse_args()
+
     from extended_legged_gym_tpu.robots.anymal_c_traj import (
         AnymalCTrajGradSampling, anymal_c_traj_sampling_cfg)
 
-    ckpt = sys.argv[1] if len(sys.argv) > 1 else \
-        "/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt"
-    E, N_CYCLES, CMD = 8, 300, 0.7
+    E, N_CYCLES, CMD = args.envs, args.cycles, args.cmd
     cfg = anymal_c_traj_sampling_cfg(num_main_envs=E)
     cfg.rl_warmstart.enable = True
-    cfg.rl_warmstart.policy_checkpoint = ckpt
+    cfg.rl_warmstart.policy_checkpoint = args.ckpt
+    if args.polish is not None:
+        cfg.trajectory_opt.polish_method = args.polish
+    if args.polish_iters is not None:
+        cfg.trajectory_opt.polish_iters = args.polish_iters
     cfg.commands.resampling_time = 1e9          # pin commands for the metric
     cfg.commands.ranges.lin_vel_x = [CMD, CMD]
     cfg.commands.ranges.lin_vel_y = [0.0, 0.0]
@@ -68,6 +82,7 @@ def main():
         "resets": resets,
         "n_envs": E, "n_cycles": N_CYCLES,
         "ndiffuse": cfg.trajectory_opt.num_diffuse_steps,
+        "polish_method": cfg.trajectory_opt.polish_method,
         "polish_iters": cfg.trajectory_opt.polish_iters,
     }))
 
