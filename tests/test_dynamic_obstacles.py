@@ -1,0 +1,147 @@
+"""Dynamic stone obstacles (TPU-native gym_editor.ObstacleGen).
+
+Reference behavior: legged_gym/legged_gym/utils/gym_editor.py:85-301 —
+randomized passive stones dropped in an annulus around each robot, clustered
+with probability, reset per episode, physically interacting with terrain and
+robot."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extended_legged_gym_tpu.terrain import flat_terrain
+from extended_legged_gym_tpu.terrain.dynamic_obstacles import (
+    BOX, CAPSULE, SPHERE, DynamicObstacleConfig, generate_stones,
+    reset_stones, step_stones, stone_robot_forces)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DynamicObstacleConfig(enable=True)
+
+
+def test_generate_shapes_and_ranges(cfg):
+    E = 6
+    robot = jnp.tile(jnp.array([1.0, -2.0, 0.5]), (E, 1))
+    st = jax.jit(lambda k: generate_stones(k, robot, cfg))(jax.random.PRNGKey(0))
+    M = cfg.max_stones
+    assert st.pos.shape == (E, M, 3) and st.active.shape == (E, M)
+    counts = np.asarray(st.active.sum(axis=1))
+    assert (counts >= cfg.min_stones).all() and (counts <= M).all()
+    # spawn annulus: non-clustered stones within spawn_radius_range of robot;
+    # clusters can drift past by at most the max cluster radius
+    act = np.asarray(st.active)
+    d = np.linalg.norm(np.asarray(st.pos[..., :2]) - np.asarray(robot[:, None, :2]), axis=-1)
+    slack = cfg.cluster_radius_range[1]
+    assert (d[act] <= cfg.spawn_radius_range[1] + slack + 1e-5).all()
+    # per-type size ranges (ref gym_editor.py:20-23)
+    types = np.asarray(st.stone_type)
+    r = np.asarray(st.radius)
+    sph = act & (types == SPHERE)
+    if sph.any():
+        assert (r[sph] >= cfg.sphere_radius_range[0] - 1e-6).all()
+        assert (r[sph] <= cfg.sphere_radius_range[1] + 1e-6).all()
+    cap = act & (types == CAPSULE)
+    if cap.any():
+        assert (r[cap] <= cfg.capsule_radius_range[1] + 1e-6).all()
+    assert (np.asarray(st.mass)[act] > 0).all()
+    # quaternions normalized
+    qn = np.linalg.norm(np.asarray(st.quat), axis=-1)
+    assert np.allclose(qn, 1.0, atol=1e-5)
+
+
+def test_type_distribution(cfg):
+    # box/sphere/capsule frequencies follow type_probabilities (ref :17)
+    robot = jnp.zeros((64, 3))
+    st = generate_stones(jax.random.PRNGKey(3), robot, cfg)
+    types = np.asarray(st.stone_type)[np.asarray(st.active)]
+    frac_box = (types == BOX).mean()
+    assert abs(frac_box - cfg.type_probabilities[0]) < 0.1
+
+
+def test_stones_fall_and_settle(cfg):
+    terrain = flat_terrain(size=40.0, height=0.0)
+    robot = jnp.zeros((4, 3)).at[:, 2].set(0.5)
+    st = generate_stones(jax.random.PRNGKey(1), robot, cfg)
+    dt = 0.005
+    step = jax.jit(lambda s: step_stones(s, terrain, dt, cfg, n_substeps=100))
+    for _ in range(8):   # 4 s of sim
+        st = step(st)
+    act = np.asarray(st.active)
+    z = np.asarray(st.pos[..., 2])
+    r = np.asarray(st.radius)
+    v = np.linalg.norm(np.asarray(st.vel), axis=-1)
+    assert np.isfinite(np.asarray(st.pos)).all()
+    # settled near the ground (cluster stones may rest stacked on each other,
+    # so allow a few radii of head-room) with small residual velocity
+    assert (z[act] <= 3.0 * r.max() + r[act] + 0.05).all()
+    assert (z[act] >= -0.06).all()
+    assert np.median(v[act]) < 0.1
+
+
+def test_restitution_bounces():
+    cfg = DynamicObstacleConfig(
+        restitution_range=[0.8, 0.8], initial_vertical_vel_range=[0.0, 0.0],
+        initial_horizontal_vel_range=[0.0, 0.0], spawn_height_range=[1.0, 1.0],
+        min_stones=1, max_stones=2, linear_damping=0.0)
+    terrain = flat_terrain(size=40.0, height=0.0)
+    st = generate_stones(jax.random.PRNGKey(2), jnp.zeros((1, 3)), cfg)
+    dt = 0.005
+    step = jax.jit(lambda s: step_stones(s, terrain, dt, cfg, n_substeps=10))
+    saw_up = False
+    for _ in range(60):
+        st = step(st)
+        if float(st.vel[0, 0, 2]) > 0.5:
+            saw_up = True
+            break
+    assert saw_up, "high-restitution stone never bounced"
+
+
+def test_friction_stops_slide():
+    cfg = DynamicObstacleConfig(
+        friction_range=[0.8, 0.8], restitution_range=[0.1, 0.1],
+        spawn_height_range=[0.05, 0.05],
+        initial_horizontal_vel_range=[2.0, 2.0],
+        initial_vertical_vel_range=[0.0, 0.0], min_stones=1, max_stones=2,
+        linear_damping=0.0, type_probabilities=[1.0, 0.0, 0.0])  # boxes slide, never roll
+    terrain = flat_terrain(size=60.0, height=0.0)
+    st = generate_stones(jax.random.PRNGKey(4), jnp.zeros((1, 3)), cfg)
+    v0 = float(jnp.linalg.norm(st.vel[0, 0, :2]))
+    st = jax.jit(lambda s: step_stones(s, terrain, 0.005, cfg, n_substeps=400))(st)
+    v1 = float(jnp.linalg.norm(st.vel[0, 0, :2]))
+    assert v1 < 0.3 * v0, f"friction failed to decelerate slide: {v0} -> {v1}"
+
+
+def test_reset_masked(cfg):
+    robot = jnp.zeros((3, 3))
+    st = generate_stones(jax.random.PRNGKey(5), robot, cfg)
+    mask = jnp.array([True, False, True])
+    st2 = reset_stones(st, jax.random.PRNGKey(6), robot, mask, cfg)
+    # untouched env keeps its stones bit-for-bit; reset envs change
+    assert np.allclose(np.asarray(st.pos[1]), np.asarray(st2.pos[1]))
+    assert not np.allclose(np.asarray(st.pos[0]), np.asarray(st2.pos[0]))
+
+
+def test_robot_coupling_pushes_apart(cfg):
+    terrain = flat_terrain(size=40.0, height=0.0)
+    st = generate_stones(jax.random.PRNGKey(7), jnp.zeros((1, 3)), cfg)
+    # plant a robot sphere exactly on the first stone → overlap
+    target = st.pos[0, 0]
+    sphere_pos = target[None, None, :]                 # [1, 1, 3]
+    sphere_radius = jnp.array([0.3])
+    f, st2 = jax.jit(
+        lambda s: stone_robot_forces(s, sphere_pos, sphere_radius, 0.005, cfg))(st)
+    assert f.shape == (1, 1, 3)
+    assert float(jnp.linalg.norm(f[0, 0])) > 0.0
+    # reaction: the stone picked up opposite momentum
+    dv = np.asarray(st2.vel[0, 0] - st.vel[0, 0])
+    assert np.dot(dv, np.asarray(f[0, 0])) < 0.0
+
+
+def test_inactive_slots_frozen(cfg):
+    terrain = flat_terrain(size=40.0, height=0.0)
+    st = generate_stones(jax.random.PRNGKey(8), jnp.zeros((2, 3)), cfg)
+    inact = ~np.asarray(st.active)
+    pos0 = np.asarray(st.pos)
+    st = step_stones(st, terrain, 0.005, cfg, n_substeps=50)
+    assert np.allclose(np.asarray(st.pos)[inact], pos0[inact])
