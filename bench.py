@@ -88,11 +88,12 @@ def main():
     t1 = min(run1(all_us)[0] for _ in range(5))
     rollouts_per_s = E * S / t1
 
-    # ---- metric 2: full MPC solve latency at the reference shape ----
+    # ---- metric 2: full MPC solve latency at the COMMITTED DEFAULT config
+    # (the same anymal_c_traj_sampling_cfg the gait artifact is produced
+    # from — scripts/eval_mpc_gait.py; both emit the trajectory_opt dict so
+    # the artifacts are checkably one config).  n_diffuse=None → the
+    # config's own num_diffuse_steps; polish runs per the config. ----
     cfg2 = anymal_c_traj_sampling_cfg(num_main_envs=1)
-    cfg2.trajectory_opt.num_samples = 127
-    cfg2.trajectory_opt.horizon_samples = 16
-    cfg2.trajectory_opt.horizon_nodes = 4
     env2 = RobotTrajGradSampling(cfg2)
     state2 = env2.reset_all(jax.random.PRNGKey(0))
     nodes2 = env2.traj_sampler.init_node_trajectories()
@@ -102,7 +103,7 @@ def main():
     def one_solve(carry):
         nd, key = carry
         k1, k2 = jax.random.split(key)
-        nd, _ = env2.optimize_all_trajectories(state2, nd, k1, n_diffuse=2)
+        nd, _ = env2.optimize_all_trajectories(state2, nd, k1)
         return (nd, k2)
 
     _, run2 = timed_chain(one_solve, K2)
@@ -112,6 +113,9 @@ def main():
     solve_p50 = solves_ms[len(solves_ms) // 2]
     solve_p90 = solves_ms[max(0, int(len(solves_ms) * 0.9) - 1)]
 
+    from extended_legged_gym_tpu.utils.config import class_to_dict
+
+    to = cfg2.trajectory_opt
     target_h64 = 6400.0
     print(json.dumps({
         "metric": "rollouts/s/chip (ANYmal-C, H=64)",
@@ -121,7 +125,10 @@ def main():
         "solve_p50_ms": round(solve_p50, 3),
         "solve_p90_ms": round(solve_p90, 3),
         "solve_budget_ms": 20.0,
-        "solve_shape": "Nsample=127 Hsample=16 Hnode=4 Ndiffuse=2",
+        "solve_shape": (f"Nsample={to.num_samples} Hsample={to.horizon_samples}"
+                        f" Hnode={to.horizon_nodes} Ndiffuse={to.num_diffuse_steps}"
+                        f" polish={to.polish_method}x{to.polish_iters}"),
+        "trajectory_opt": class_to_dict(to),
     }))
 
 

@@ -57,11 +57,16 @@ class TrajectoryOptCfg:
     compute_predictions: bool = True
     # refinement stage after the diffusion sweep (BASELINE "QP/Riccati
     # refinement"; no reference equivalent — PhysX is not differentiable):
-    # "gradient" = normalized-gradient ascent with line search,
+    # "fd"       = normalized-gradient ascent with a batched central-
+    #              difference gradient through the fast Pallas rollout
+    #              (online-rate: one polish iter ≈ two diffusion sweeps),
+    # "gradient" = analytic VJP through the XLA engine (offline-grade
+    #              latency at small batch; exact gradients),
     # "ilqr"     = time-varying LQR (Riccati) sweeps on engine linearizations
     polish_iters: int = 0
-    polish_method: str = "gradient"
+    polish_method: str = "fd"
     polish_lr: float = 0.05
+    polish_fd_eps: float = 0.05
     ilqr_reg: float = 1.0
 
 
@@ -346,9 +351,16 @@ class RobotTrajGradSampling(RobotBatchRollout):
         if to.polish_iters > 0:
             if to.polish_method == "ilqr":
                 nodes, pinfo = self.polish_riccati(state, nodes, to.polish_iters)
+            elif to.polish_method == "fd":
+                # batched central-difference gradient through the FAST
+                # (Pallas) rollout path — online-rate polish (see
+                # TrajGradSampling.polish_fd)
+                nodes, pinfo = self.traj_sampler.polish_fd(
+                    nodes, rollout_fn, to.polish_iters, to.polish_lr,
+                    eps=to.polish_fd_eps)
             else:
-                # gradients flow through the XLA engine (Pallas kernels have
-                # no VJP)
+                # analytic VJP: gradients flow through the XLA engine (the
+                # Pallas kernels have no VJP) — offline-grade latency
                 diff_fn = lambda all_us: self.rollout_batch(state, all_us,
                                                             differentiable=True)
                 nodes, pinfo = self.traj_sampler.polish(

@@ -244,9 +244,27 @@ class ViewerCfg:
 
 
 @configclass
+class ObstacleGenCfg:
+    """Passive stone obstacles dropped around each robot (reference
+    legged_robot_config.py:46-55 ``obstacle_gen``; stones simulated by
+    terrain/dynamic_obstacles.py instead of per-stone PhysX actors)."""
+
+    enable_obstacles: bool = False
+    min_obstacles: int = 5
+    max_obstacles: int = 15
+    spawn_height_range: List[float] = [0.3, 1.0]
+    spawn_radius_range: List[float] = [1.5, 6.0]
+    stone_density_range: List[float] = [800.0, 2000.0]
+    stone_friction_range: List[float] = [0.3, 0.9]
+    stone_restitution_range: List[float] = [0.1, 0.4]
+    cluster_probability: float = 0.3
+
+
+@configclass
 class LeggedRobotCfg:
     seed: int = 1
     env: EnvCfg = EnvCfg()
+    obstacle_gen: ObstacleGenCfg = ObstacleGenCfg()
     terrain: TerrainCfg = TerrainCfg()
     commands: CommandsCfg = CommandsCfg()
     init_state: InitStateCfg = InitStateCfg()

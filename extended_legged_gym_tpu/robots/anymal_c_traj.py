@@ -155,10 +155,12 @@ def anymal_c_traj_sampling_cfg(num_main_envs: int = 1) -> RobotTrajGradSamplingC
     cfg.noise.add_noise = False
 
     # trajectory optimization (ref :50-73).  The reference runs Ndiffuse=1
-    # per replan (PhysX rollout cost); the TPU solve is ~12x under the 20 ms
+    # per replan (PhysX rollout cost); the TPU solve is far under the 20 ms
     # budget, so the default spends the headroom on a second diffusion pass
-    # plus two differentiable-polish iterations — measured on-chip to lift
-    # 0.7 m/s command tracking from 79% to 92% of command with warm-start
+    # plus two finite-difference polish iterations through the fused Pallas
+    # rollout (polish_method="fd": one iter costs ~two diffusion sweeps; the
+    # analytic-VJP "gradient" polish routes through the slow XLA engine and
+    # blows the latency budget ~21x — kept only for offline refinement)
     cfg.trajectory_opt.num_diffuse_steps = 2
     cfg.trajectory_opt.num_diffuse_steps_init = 6
     cfg.trajectory_opt.num_samples = 127
@@ -172,5 +174,7 @@ def anymal_c_traj_sampling_cfg(num_main_envs: int = 1) -> RobotTrajGradSamplingC
     cfg.trajectory_opt.gamma = 1.0
     cfg.trajectory_opt.interp_method = "spline"
     cfg.trajectory_opt.polish_iters = 2
+    cfg.trajectory_opt.polish_method = "fd"
     cfg.trajectory_opt.polish_lr = 0.05
+    cfg.trajectory_opt.polish_fd_eps = 0.05
     return cfg

@@ -23,8 +23,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt")
-    ap.add_argument("--polish", default=None, choices=[None, "gradient", "ilqr"])
+    ap.add_argument("--polish", default=None, choices=[None, "fd", "gradient", "ilqr"])
     ap.add_argument("--polish-iters", type=int, default=None)
+    ap.add_argument("--ndiffuse", type=int, default=None)
     ap.add_argument("--cycles", type=int, default=300)
     ap.add_argument("--cmd", type=float, default=0.7)
     ap.add_argument("--envs", type=int, default=8)
@@ -32,6 +33,7 @@ def main():
 
     from extended_legged_gym_tpu.robots.anymal_c_traj import (
         AnymalCTrajGradSampling, anymal_c_traj_sampling_cfg)
+    from extended_legged_gym_tpu.utils.config import class_to_dict
 
     E, N_CYCLES, CMD = args.envs, args.cycles, args.cmd
     cfg = anymal_c_traj_sampling_cfg(num_main_envs=E)
@@ -41,6 +43,8 @@ def main():
         cfg.trajectory_opt.polish_method = args.polish
     if args.polish_iters is not None:
         cfg.trajectory_opt.polish_iters = args.polish_iters
+    if args.ndiffuse is not None:
+        cfg.trajectory_opt.num_diffuse_steps = args.ndiffuse
     cfg.commands.resampling_time = 1e9          # pin commands for the metric
     cfg.commands.ranges.lin_vel_x = [CMD, CMD]
     cfg.commands.ranges.lin_vel_y = [0.0, 0.0]
@@ -81,9 +85,10 @@ def main():
         "upright_mean": round(float(up[half:].mean()), 4),
         "resets": resets,
         "n_envs": E, "n_cycles": N_CYCLES,
-        "ndiffuse": cfg.trajectory_opt.num_diffuse_steps,
-        "polish_method": cfg.trajectory_opt.polish_method,
-        "polish_iters": cfg.trajectory_opt.polish_iters,
+        # the FULL optimizer config, so the artifact pins exactly which
+        # trajectory_opt produced this gait (bench.py emits the same dict;
+        # tests/test_mpc_gait.py asserts it matches the committed default)
+        "trajectory_opt": class_to_dict(cfg.trajectory_opt),
     }))
 
 

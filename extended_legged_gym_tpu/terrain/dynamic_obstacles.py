@@ -108,7 +108,7 @@ def generate_stones(key: jax.Array, robot_pos: jnp.ndarray,
     dynamics stays NaN-free)."""
     E = robot_pos.shape[0]
     M = int(cfg.max_stones)
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 18)
 
     # per-env stone count (ref :93 randint(min, max)); active = first n slots
     n = jax.random.randint(ks[0], (E,), cfg.min_stones, M + 1)
@@ -156,14 +156,24 @@ def generate_stones(key: jax.Array, robot_pos: jnp.ndarray,
     # clustering (ref :104-107, 136-168): each stone independently joins the
     # cluster of an earlier "parent" stone with cluster_probability; parents
     # use their OWN base position, so one pass of gathers resolves all
-    # clusters (no sequential spawn loop).
+    # clusters (no sequential spawn loop).  Cluster sizes are bounded by
+    # cluster_size_range[1]: a stone's join is cancelled once its parent
+    # already has max_size-1 earlier joiners (rank computed with one [E,M,M]
+    # cumulative count; the reference's per-cluster minimum of 2 holds by
+    # construction — parent + >=1 joiner).
     is_clustered = jax.random.bernoulli(ks[10], cfg.cluster_probability, (E, M))
     is_clustered = is_clustered & (jnp.arange(M)[None, :] > 0)
     u = jax.random.uniform(ks[11], (E, M))
     parent = jnp.floor(u * jnp.maximum(jnp.arange(M)[None, :], 1)).astype(jnp.int32)
+    same_parent = (parent[:, :, None] == parent[:, None, :]) \
+        & is_clustered[:, :, None] & is_clustered[:, None, :]
+    earlier = (jnp.arange(M)[None, :, None] > jnp.arange(M)[None, None, :])
+    join_rank = (same_parent & earlier).sum(-1)          # joiners before me
+    max_joins = int(cfg.cluster_size_range[1]) - 1
+    is_clustered = is_clustered & (join_rank < max_joins)
     crad = _uniform(ks[12], cfg.cluster_radius_range[0], cfg.cluster_radius_range[1], (E, M))
     ang = _uniform(ks[13], 0.0, 2.0 * jnp.pi, (E, M))
-    dist = jax.random.uniform(ks[13], (E, M)) * crad
+    dist = jnp.sqrt(jax.random.uniform(ks[16], (E, M))) * crad  # uniform in disk
     px = jnp.take_along_axis(x, parent, axis=1) + dist * jnp.cos(ang)
     py = jnp.take_along_axis(y, parent, axis=1) + dist * jnp.sin(ang)
     pz = jnp.take_along_axis(z, parent, axis=1) + _uniform(ks[14], -0.1, 0.1, (E, M))
@@ -176,7 +186,7 @@ def generate_stones(key: jax.Array, robot_pos: jnp.ndarray,
     kv, kq, kc, kf = jax.random.split(ks[15], 4)
     vxy = _uniform(kv, cfg.initial_horizontal_vel_range[0],
                    cfg.initial_horizontal_vel_range[1], (E, M, 2))
-    vz = _uniform(kv, cfg.initial_vertical_vel_range[0],
+    vz = _uniform(ks[17], cfg.initial_vertical_vel_range[0],
                   cfg.initial_vertical_vel_range[1], (E, M))
     vel = jnp.concatenate([vxy, vz[..., None]], axis=-1)
     quat = jax.random.normal(kq, (E, M, 4))
@@ -242,10 +252,15 @@ def step_stones(state: StoneState, terrain: TerrainData, dt: float,
         pen = (h + st.radius) - pos[..., 2]          # >0 when penetrating
         in_contact = (pen > 0.0) & act
         v_n = (vel * nrm).sum(-1)
-        # impulse restitution on fast impacts, penalty spring otherwise
+        # impulse restitution on fast impacts, penalty spring otherwise.
+        # On a bounce substep the restitution flip IS the whole normal
+        # response — adding the spring-damper force on top injects energy
+        # (the damper term, computed from the approach speed, acts as an
+        # extra upward impulse; a 1 m drop then bounces ever higher).
         bounce = in_contact & (v_n < -cfg.bounce_threshold)
         v_n_new = jnp.where(bounce, -st.restitution * v_n, v_n)
-        f_n = jnp.where(in_contact, k * pen - c * jnp.minimum(v_n, 0.0), 0.0)
+        f_n = jnp.where(in_contact & ~bounce,
+                        k * pen - c * jnp.minimum(v_n, 0.0), 0.0)
         dv_n = (v_n_new - v_n) + f_n / m * dt
         vel = vel + nrm * dv_n[..., None]
         # Coulomb friction on the tangential surface velocity (incl. spin)
@@ -312,13 +327,17 @@ def step_stones(state: StoneState, terrain: TerrainData, dt: float,
 
 def stone_robot_forces(state: StoneState, sphere_pos: jnp.ndarray,
                        sphere_radius: jnp.ndarray, dt: float,
-                       cfg: DynamicObstacleConfig
+                       cfg: DynamicObstacleConfig,
+                       sphere_vel: jnp.ndarray | None = None,
                        ) -> tuple[jnp.ndarray, StoneState]:
     """Two-way sphere-sphere coupling between stones and robot collision
     spheres (the PhysX robot↔stone interaction, gym_editor.py:58-61).
 
-    ``sphere_pos`` [E, B, 3], ``sphere_radius`` [B].  Returns
-    (force_on_robot [E, B, 3], stones with the reaction impulse applied)."""
+    ``sphere_pos`` [E, B, 3], ``sphere_radius`` [B], optional ``sphere_vel``
+    [E, B, 3] so damping acts on the RELATIVE normal velocity (a fast robot
+    sphere hitting a resting stone is damped too; without it the damper sees
+    only the stone's motion).  Returns (force_on_robot [E, B, 3], stones with
+    the reaction impulse applied)."""
     k = jnp.float32(cfg.contact_stiffness)
     c = jnp.float32(cfg.contact_damping)
     d = sphere_pos[:, :, None, :] - state.pos[:, None, :, :]    # [E, B, M, 3]
@@ -328,7 +347,10 @@ def stone_robot_forces(state: StoneState, sphere_pos: jnp.ndarray,
     # degenerate (coincident-center) contacts push straight up
     n = jnp.where(dist[..., None] > 1e-5, d / dist[..., None],
                   jnp.zeros_like(d).at[..., 2].set(1.0))
-    v_n = (-state.vel[:, None, :, :] * n).sum(-1)               # approach speed
+    v_rel = -state.vel[:, None, :, :]
+    if sphere_vel is not None:
+        v_rel = v_rel + sphere_vel[:, :, None, :]
+    v_n = (v_rel * n).sum(-1)                                   # approach speed
     f = jnp.where(overlap > 0.0, k * overlap - c * jnp.minimum(v_n, 0.0), 0.0)
     f_robot = (n * f[..., None]).sum(axis=2)                    # [E, B, 3]
     imp_stone = -(n * f[..., None]).sum(axis=1) * dt            # [E, M, 3]

@@ -182,6 +182,46 @@ def test_gradient_polish_improves_trajectory():
                                np.asarray(nodes[:, 0]), atol=1e-6)
 
 
+def test_fd_polish_improves_trajectory():
+    """The finite-difference polish (the ONLINE refinement path — batched
+    central differences through the fast rollout, no VJP needed) improves
+    the discounted return, never regresses, and agrees with the analytic
+    polish on a smooth problem."""
+    target = 30.0
+    cfg = TrajOptConfig(num_samples=31, temp_sample=0.1, horizon_samples=32,
+                        horizon_nodes=8, noise_scaling=2.0,
+                        update_method="mppi", gamma=0.99)
+    opt = TrajGradSampling(cfg, num_envs=2, num_actions=1)
+
+    def rollout_fn(all_us):
+        pos = double_integrator_rollout(all_us)
+        return -jnp.square(pos[..., 1:] - target) / 100.0
+
+    def score(nodes):
+        rew = rollout_fn(opt.node2u(nodes)[:, None])[:, 0]
+        disc = cfg.gamma ** jnp.arange(rew.shape[-1])
+        return jnp.sum(rew * disc, axis=-1)
+
+    nodes = opt.init_node_trajectories()
+    nodes, _ = jax.jit(lambda n, k: opt.optimize(n, rollout_fn, k, 3))(
+        nodes, jax.random.PRNGKey(0))
+    before = score(nodes)
+    polished, infos = jax.jit(
+        lambda n: opt.polish_fd(n, rollout_fn, n_iters=20, lr=0.3))(nodes)
+    after = score(polished)
+    assert bool(jnp.all(after >= before - 1e-5))
+    assert float((after - before).min()) > 0.1   # real improvement
+    # executing node untouched
+    np.testing.assert_allclose(np.asarray(polished[:, 0]),
+                               np.asarray(nodes[:, 0]), atol=1e-6)
+    # the quadratic problem is smooth: FD and analytic polish land close
+    analytic, _ = jax.jit(
+        lambda n: opt.polish(n, rollout_fn, n_iters=20, lr=0.3))(nodes)
+    gap = float(jnp.abs(score(analytic) - after).max())
+    assert gap < 0.3 * float((after - before).min()), \
+        f"fd polish lost too much vs analytic: {gap}"
+
+
 @pytest.mark.slow  # env-level wiring; module-level polish covered fast above
 def test_polish_through_env_config():
     """polish_iters wires through RobotTrajGradSampling.optimize_all_trajectories."""
