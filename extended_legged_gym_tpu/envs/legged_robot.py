@@ -107,6 +107,12 @@ class EnvState:
     # None elsewhere
     geom_pos: Optional[jnp.ndarray] = None
 
+    # passive stone obstacles (terrain/dynamic_obstacles.StoneState) when
+    # cfg.obstacle_gen.enable_obstacles — the reference creates per-stone
+    # PhysX actors at sim build and resets them per env
+    # (legged_robot.py:196-197, 279-297); here they ride in the state pytree
+    stones: Optional[Any] = None
+
 
 class LeggedRobot:
     """Static env object: holds config/model/terrain and provides pure
@@ -197,6 +203,34 @@ class LeggedRobot:
             if cfg.asset.terminate_after_contacts_on else np.zeros(0, np.int32)
         self.penalised_geoms = geom_indices_matching(model, cfg.asset.penalize_contacts_on) \
             if cfg.asset.penalize_contacts_on else np.zeros(0, np.int32)
+
+        # --- passive stone obstacles (ref legged_robot.py:279-297 builds
+        #     ObstacleGen from cfg.obstacle_gen at sim creation) ---
+        self.obstacle_cfg = None
+        if cfg.obstacle_gen.enable_obstacles:
+            from ..terrain.dynamic_obstacles import DynamicObstacleConfig
+
+            og = cfg.obstacle_gen
+            self.obstacle_cfg = DynamicObstacleConfig(
+                enable=True, min_stones=og.min_obstacles,
+                max_stones=og.max_obstacles,
+                spawn_height_range=list(og.spawn_height_range),
+                spawn_radius_range=list(og.spawn_radius_range),
+                density_range=list(og.stone_density_range),
+                friction_range=list(og.stone_friction_range),
+                restitution_range=list(og.stone_restitution_range),
+                cluster_probability=og.cluster_probability)
+            # robot coupling spheres: the base geom + the feet (positions and
+            # velocities of every other geom are not carried in EnvState)
+            gb = np.asarray(model.geom_body)
+            base_geoms = np.where(gb == 0)[0]
+            self._base_geom = int(base_geoms[0]) if len(base_geoms) else 0
+            base_r = (float(model.geom_radius[self._base_geom])
+                      if len(base_geoms) else 0.3)
+            self._obstacle_sphere_radius = np.concatenate(
+                [[base_r], np.asarray(model.geom_radius)[np.asarray(model.foot_geom)]]
+            ).astype(np.float32)
+            self._total_mass = float(np.asarray(model.mass).sum())
 
         # --- joint soft limits (ref legged_robot.py:345-371) ---
         lim = np.asarray(model.dof_pos_limits)
@@ -448,6 +482,8 @@ class LeggedRobot:
             command_lin_vel_x_range=jnp.asarray(self.command_ranges["lin_vel_x"], jnp.float32),
             reward_stage=jnp.zeros((), jnp.int32),
             geom_pos=self._seed_geom_pos(phys) if self._needs_geom_pos else None,
+            stones=self._generate_stones(keys[6], phys)
+            if self.obstacle_cfg is not None else None,
         )
         # populate derived quantities / observations with a zero-action step
         state = self._refresh_derived(state)
@@ -525,7 +561,42 @@ class LeggedRobot:
         state = state.replace(phys=phys, actions=actions, torques=torques,
                               actuator_hidden=act_hidden, geom_pos=geom_pos)
         state = self._refresh_derived(state, report)
+        if self.obstacle_cfg is not None:
+            state = self._step_obstacles(state)
         return self._post_physics_step(state)
+
+    def _generate_stones(self, key, phys: PhysState):
+        from ..terrain.dynamic_obstacles import generate_stones
+
+        return generate_stones(key, phys.base_pos, self.obstacle_cfg)
+
+    def _step_obstacles(self, state: EnvState) -> EnvState:
+        """Advance stones one control step and exchange contact forces with
+        the robot (the PhysX robot↔stone interaction; reference stones are
+        ordinary actors in the same sim).  Robot side of the coupling: stone
+        forces are added to the base/feet rows of ``geom_forces`` — so the
+        collision penalty and termination terms react exactly like they do to
+        terrain contacts — and the net force kicks the base as a velocity
+        impulse (like domain_rand pushes; stone-vs-intermediate-link torque
+        transfer is not modeled).  Stones feel the full reaction impulse."""
+        from ..terrain.dynamic_obstacles import step_stones, stone_robot_forces
+
+        oc = self.obstacle_cfg
+        sphere_pos = jnp.concatenate(
+            [state.phys.base_pos[:, None], state.foot_positions], axis=1)
+        sphere_vel = jnp.concatenate(
+            [state.phys.base_lin_vel[:, None], state.foot_velocities], axis=1)
+        f_robot, stones = stone_robot_forces(
+            state.stones, sphere_pos, jnp.asarray(self._obstacle_sphere_radius),
+            self.dt, oc, sphere_vel=sphere_vel)
+        stones = step_stones(stones, self.terrain, self.cfg.sim.dt, oc,
+                             n_substeps=self.cfg.control.decimation)
+        gf = state.geom_forces
+        gf = gf.at[:, self._base_geom].add(f_robot[:, 0])
+        gf = gf.at[:, np.asarray(self.feet_geoms)].add(f_robot[:, 1:])
+        dv = f_robot.sum(axis=1) * (self.dt / self._total_mass)
+        phys = state.phys.replace(base_lin_vel=state.phys.base_lin_vel + dv)
+        return state.replace(stones=stones, geom_forces=gf, phys=phys)
 
     def _physics_substeps(self, phys: PhysState, actions: jnp.ndarray,
                           env_params: EnvPhysParams, last_dof_vel: jnp.ndarray,
@@ -782,7 +853,17 @@ class LeggedRobot:
         if geom_pos is not None:
             geom_pos = jnp.where(mask[:, None, None],
                                  self._seed_geom_pos(phys), geom_pos)
+        stones = state.stones
+        if stones is not None:
+            # re-spawn stones for the envs being reset (reference
+            # legged_robot.py:195-197 obstacle_gen.reset(env_ids))
+            from ..terrain.dynamic_obstacles import reset_stones
+
+            k_reset, k_stones = jax.random.split(k_reset)
+            stones = reset_stones(stones, k_stones, phys.base_pos, mask,
+                                  self.obstacle_cfg)
         return state.replace(
+            stones=stones,
             geom_pos=geom_pos,
             actuator_hidden=act_hidden,
             phys=phys, commands=commands,

@@ -63,6 +63,18 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     return cfg
 
 
+def anymal_c_flat_obstacles_cfg() -> LeggedRobotCfg:
+    """Flat terrain + passive stone obstacles: the reference's obstacle-gen
+    robustness setup (legged_robot_config.py:46-55 with
+    enable_obstacles=True on a plane)."""
+    cfg = anymal_c_flat_cfg()
+    cfg.obstacle_gen.enable_obstacles = True
+    cfg.obstacle_gen.min_obstacles = 4
+    cfg.obstacle_gen.max_obstacles = 8
+    cfg.obstacle_gen.spawn_radius_range = [1.0, 4.0]
+    return cfg
+
+
 def anymal_c_ppo_cfg(experiment: str = "flat_anymal_c") -> LeggedRobotCfgPPO:
     train = LeggedRobotCfgPPO()
     train.runner.experiment_name = experiment

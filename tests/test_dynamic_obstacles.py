@@ -169,6 +169,51 @@ def test_robot_coupling_pushes_apart(cfg):
     assert np.dot(dv, np.asarray(f[0, 0])) < 0.0
 
 
+def test_env_integration_obstacles():
+    """Obstacle-gen wired into the env layer (reference legged_robot.py:
+    196-197, 279-297): the registered task carries stones in EnvState, steps
+    them, resets them per env, and the robot's contact channels react."""
+    import extended_legged_gym_tpu.robots  # noqa: F401 — populates the registry
+    from extended_legged_gym_tpu.utils.task_registry import task_registry
+
+    env_cfg, _ = task_registry.get_cfgs("anymal_c_flat_obstacles")
+    env_cfg.env.num_envs = 4
+    env, _ = task_registry.make_env("anymal_c_flat_obstacles", env_cfg=env_cfg)
+    state = env.reset_all(jax.random.PRNGKey(0))
+    assert state.stones is not None
+    assert state.stones.pos.shape[0] == 4
+    pos0 = np.asarray(state.stones.pos)
+
+    step = jax.jit(env.step)
+    for _ in range(10):
+        state = step(state, jnp.zeros((4, 12)))
+    # stones displaced (they spawn in the air and fall)
+    moved = np.abs(np.asarray(state.stones.pos) - pos0)[np.asarray(state.stones.active)]
+    assert moved.max() > 0.05
+    assert np.isfinite(np.asarray(state.stones.pos)).all()
+    assert np.isfinite(np.asarray(state.obs)).all()
+
+    # plant a stone inside the base collision sphere → geom_forces react and
+    # the stone picks up the reaction impulse
+    base = state.phys.base_pos[0]
+    stones = state.stones
+    stones = stones.replace(
+        pos=stones.pos.at[0, 0].set(base + jnp.array([0.0, 0.0, 0.05])),
+        vel=stones.vel.at[0, 0].set(0.0),
+        active=stones.active.at[0, 0].set(True))
+    state2 = step(state.replace(stones=stones), jnp.zeros((4, 12)))
+    f_base = np.asarray(state2.geom_forces[0, env._base_geom])
+    assert np.linalg.norm(f_base) > 0.0, "base never felt the planted stone"
+
+    # per-env reset re-spawns stones only where the mask is set
+    st3 = np.asarray(state2.stones.pos)
+    state3 = state2.replace(reset_buf=jnp.array([True, False, False, False]))
+    state3 = env._reset_envs(state3, jax.random.PRNGKey(3),
+                             jax.random.PRNGKey(4), state3.reset_buf)
+    assert not np.allclose(np.asarray(state3.stones.pos[0]), st3[0])
+    assert np.allclose(np.asarray(state3.stones.pos[2]), st3[2])
+
+
 def test_inactive_slots_frozen(cfg):
     terrain = flat_terrain(size=40.0, height=0.0)
     st = generate_stones(jax.random.PRNGKey(8), jnp.zeros((2, 3)), cfg)
