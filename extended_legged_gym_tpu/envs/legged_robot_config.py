@@ -229,6 +229,10 @@ class DepthCfg:
     resized: List[int] = [56, 28]
     horizontal_fov: float = 100.0
     buffer_len: int = 2
+    # depth encoder for estimator/backbone consumers:
+    # "cnn" | "mlp" | "hist_mlp" | "stack" (reference StackDepthEncoder,
+    # depth_backbone.py:227 — consumes the buffer_len frame stack)
+    encoder: str = "cnn"
     near_clip: float = 0.0
     far_clip: float = 2.0
     dis_noise: float = 0.0

@@ -10,7 +10,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .depth_backbone import DepthOnlyFCBackbone
+from .depth_backbone import make_depth_encoder
 from .networks import MLP, rnn_carry
 
 
@@ -21,13 +21,18 @@ class TerrainEstimator(nn.Module):
     rnn_hidden: int = 128
     decoder_dims: Sequence[int] = (128, 128)
     activation: str = "elu"
+    # depth encoder selection (models/depth_backbone.make_depth_encoder);
+    # "stack" expects a [B, T, H, W] frame buffer instead of [B, H, W]
+    encoder: str = "cnn"
+    buffer_len: int = 2
 
     @nn.compact
     def __call__(self, depth, proprio, carry):
-        """depth [B, H, W], proprio [B, P], carry GRU state →
-        (predicted raycast distances [B, R], carry)."""
-        enc = DepthOnlyFCBackbone(output_dim=self.depth_enc_dim,
-                                  activation=self.activation)(depth)
+        """depth [B, H, W] ([B, T, H, W] for encoder="stack"), proprio
+        [B, P], carry GRU state → (predicted raycast distances [B, R], carry)."""
+        enc = make_depth_encoder(self.encoder, output_dim=self.depth_enc_dim,
+                                 buffer_len=self.buffer_len,
+                                 activation=self.activation)(depth)
         x = jnp.concatenate([enc, proprio], axis=-1)
         carry, h = nn.GRUCell(self.rnn_hidden)(carry, x)
         pred = MLP(tuple(self.decoder_dims), self.num_raycast, self.activation)(h)

@@ -45,14 +45,24 @@ class TerrainEstimatorRunner:
         self.raycaster = RayCaster(env.cfg.raycaster, env.terrain)
 
         proprio_dim = 9  # base lin/ang vel + projected gravity
+        # depth-encoder selection (cfg.depth.encoder; "stack"/"hist_mlp"
+        # consume the buffer_len frame stack — reference StackDepthEncoder)
+        self.encoder_name = getattr(env.cfg.depth, "encoder", "cnn")
+        self.buffered = self.encoder_name in ("stack", "hist_mlp")
+        T = int(env.cfg.depth.buffer_len)
         self.network = TerrainEstimator(
-            num_raycast=self.raycaster.num_rays, proprio_dim=proprio_dim)
+            num_raycast=self.raycaster.num_rays, proprio_dim=proprio_dim,
+            encoder=self.encoder_name, buffer_len=T)
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         H, W = env.cfg.depth.resized[1], env.cfg.depth.resized[0]
+        self.depth_buf0 = (jnp.zeros((env.num_envs, T, H, W))
+                           if self.buffered else None)
+        depth0 = (self.depth_buf0 if self.buffered
+                  else jnp.zeros((env.num_envs, H, W)))
         carry0 = self.network.initialize_carry(k1, (env.num_envs,))
         params = self.network.init(
-            k2, jnp.zeros((env.num_envs, H, W)), jnp.zeros((env.num_envs, proprio_dim)),
+            k2, depth0, jnp.zeros((env.num_envs, proprio_dim)),
             carry0)
         self.params = params
         self.carry0 = carry0
@@ -72,8 +82,13 @@ class TerrainEstimatorRunner:
         env = self.env
 
         def collect(carry_in, k):
-            es, rnn = carry_in
-            depth = self.camera.render(es.phys.base_pos, es.phys.base_quat)
+            es, rnn, buf = carry_in
+            frame = self.camera.render(es.phys.base_pos, es.phys.base_quat)
+            if self.buffered:
+                buf = jnp.concatenate([buf[:, 1:], frame[:, None]], axis=1)
+                depth = buf
+            else:
+                depth = frame
             proprio = self._proprio(es)
             gt = self.raycaster.cast(es.phys.base_pos, es.phys.base_quat).distance
             if self.policy is not None:
@@ -81,11 +96,11 @@ class TerrainEstimatorRunner:
             else:
                 actions = 0.3 * jax.random.normal(k, (env.num_envs, env.num_actions))
             es = env.step(es, actions)
-            return (es, rnn), (depth, proprio, gt, es.reset_buf)
+            return (es, rnn, buf), (depth, proprio, gt, es.reset_buf)
 
         keys = jax.random.split(key, self.num_steps_per_env)
-        (env_state, _), (depths, proprios, gts, dones) = jax.lax.scan(
-            collect, (env_state, carry), keys)
+        (env_state, _, _), (depths, proprios, gts, dones) = jax.lax.scan(
+            collect, (env_state, carry, self.depth_buf0), keys)
 
         def loss_fn(p):
             def step_fn(rnn, inp):
@@ -167,10 +182,16 @@ class TerrainEstimatorRunner:
         carry = self.carry0
         step = jax.jit(env.step)
         mses, maes = [], []
+        buf = self.depth_buf0
         for it in range(num_steps):
             self.key, k = jax.random.split(self.key)
-            depth = self.camera.render(env_state.phys.base_pos,
+            frame = self.camera.render(env_state.phys.base_pos,
                                        env_state.phys.base_quat)
+            if self.buffered:
+                buf = jnp.concatenate([buf[:, 1:], frame[:, None]], axis=1)
+                depth = buf
+            else:
+                depth = frame
             proprio = self._proprio(env_state)
             gt = self.raycaster.cast(env_state.phys.base_pos,
                                      env_state.phys.base_quat).distance
