@@ -195,11 +195,18 @@ def ppo_update(
         inject = opt_state[1]
         inject = inject._replace(hyperparams={**inject.hyperparams, "learning_rate": lr})
         opt_state = (opt_state[0], inject)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # non-finite containment: a single exploded minibatch (divergent env
+        # leaking inf rewards, KL blow-up) must not poison the parameters —
+        # skip the step instead (the r1 anymal_flat smoke run died this way:
+        # params went NaN at iter 150 and every later iteration was garbage)
+        ok = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads, jnp.isfinite(loss))
+        new_params, new_opt_state = _guarded_update(
+            optimizer, grads, opt_state, params, ok)
         metrics = jnp.stack([loss, aux["value_loss"], aux["surrogate_loss"],
-                             aux["entropy"], kl_mean])
-        return (params, opt_state, lr), metrics
+                             aux["entropy"], kl_mean,
+                             1.0 - ok.astype(jnp.float32)])
+        return (new_params, new_opt_state, lr), metrics
 
     def epoch_step(carry, key_e):
         perm = jax.random.permutation(key_e, N)
@@ -212,10 +219,22 @@ def ppo_update(
     (params, opt_state, lr), metrics = jax.lax.scan(
         epoch_step, (ppo_state.params, ppo_state.opt_state, ppo_state.learning_rate), keys)
 
-    m = metrics.reshape(-1, 5).mean(axis=0)
+    m = metrics.reshape(-1, 6).mean(axis=0)
     out = dict(loss=m[0], value_loss=m[1], surrogate_loss=m[2], entropy=m[3],
-               kl=m[4], learning_rate=lr)
+               kl=m[4], nonfinite_skips=m[5] * metrics.reshape(-1, 6).shape[0],
+               learning_rate=lr)
     return PPOState(params=params, opt_state=opt_state, learning_rate=lr), out
+
+
+def _guarded_update(optimizer, grads, opt_state, params, ok):
+    """Apply the optimizer step only when every gradient (and the loss) is
+    finite; otherwise keep params and optimizer state unchanged."""
+    updates, opt_state_new = optimizer.update(
+        jax.tree.map(jnp.nan_to_num, grads), opt_state, params)
+    params_new = optax.apply_updates(params, updates)
+    sel = lambda n, o: jnp.where(ok, n, o) if hasattr(n, "dtype") else n
+    return (jax.tree.map(sel, params_new, params),
+            jax.tree.map(sel, opt_state_new, opt_state))
 
 
 def ppo_update_recurrent(
@@ -320,8 +339,9 @@ def ppo_update_recurrent(
         inject = inject._replace(hyperparams={**inject.hyperparams,
                                               "learning_rate": lr})
         opt_state = (opt_state[0], inject)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        ok = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads, jnp.isfinite(loss))
+        params, opt_state = _guarded_update(optimizer, grads, opt_state, params, ok)
         metrics = jnp.stack([loss, aux["value_loss"], aux["surrogate_loss"],
                              aux["entropy"], kl_mean])
         return (params, opt_state, lr), metrics

@@ -51,26 +51,34 @@ class MetricsWriter:
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True,
                  backend: Optional[str] = None):
-        os.makedirs(log_dir, exist_ok=True)
+        # LAZY: the dir/file/sinks materialize on the first write, so a run
+        # that never logs (construction-only tests, aborted launches) leaves
+        # no empty run directory behind
+        self.log_dir = log_dir
         self.path = os.path.join(log_dir, "metrics.jsonl")
-        self._f = open(self.path, "a")
+        self._use_tensorboard = use_tensorboard
+        self._backend = backend or os.environ.get("ELG_LOGGER", "tensorboard")
+        self._f = None
         self.sinks = []
-        backend = backend or os.environ.get("ELG_LOGGER", "tensorboard")
-        if use_tensorboard and backend == "tensorboard":
+
+    def _materialize(self):
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._f = open(self.path, "a")
+        if self._use_tensorboard and self._backend == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self.sinks.append(SummaryWriter(log_dir=log_dir, flush_secs=30))
+                self.sinks.append(SummaryWriter(log_dir=self.log_dir, flush_secs=30))
             except Exception:
                 pass
-        elif backend == "wandb":
+        elif self._backend == "wandb":
             try:
-                self.sinks.append(_WandbSink(log_dir))
+                self.sinks.append(_WandbSink(self.log_dir))
             except Exception:
                 pass
-        elif backend == "neptune":
+        elif self._backend == "neptune":
             try:
-                self.sinks.append(_NeptuneSink(log_dir))
+                self.sinks.append(_NeptuneSink(self.log_dir))
             except Exception:
                 pass
 
@@ -79,6 +87,8 @@ class MetricsWriter:
         return self.sinks[0] if self.sinks else None
 
     def write(self, step: int, metrics: Dict[str, float]):
+        if self._f is None:
+            self._materialize()
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
@@ -88,6 +98,7 @@ class MetricsWriter:
                 sink.add_scalar(k, float(v), step)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         for sink in self.sinks:
             sink.close()

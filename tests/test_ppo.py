@@ -74,6 +74,45 @@ def test_ppo_learns_bandit():
     assert abs(float(mean_final[0, 0]) - 0.7) < 0.15, float(mean_final[0, 0])
 
 
+def test_nonfinite_minibatch_skipped():
+    """An exploded minibatch (inf rewards → non-finite loss/grads) must not
+    poison the parameters: the guarded update skips it and reports
+    nonfinite_skips (the r1 smoke run went NaN at iter 150 and never
+    recovered)."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(0)
+    net = ActorCritic(num_actions=1, actor_hidden_dims=(16,),
+                      critic_hidden_dims=(16,), init_noise_std=0.5)
+    obs_dim = 3
+    params = net.init(key, jnp.zeros((1, obs_dim)), jnp.zeros((1, obs_dim)))
+    cfg = PPOConfig(num_learning_epochs=1, num_mini_batches=1,
+                    schedule="fixed", gamma=0.0, entropy_coef=0.0)
+    opt = make_optimizer(cfg)
+    ppo_state = PPOState(params=params, opt_state=opt.init(params),
+                         learning_rate=jnp.asarray(cfg.learning_rate))
+    T, B = 4, 16
+    k1, k2, k3 = jax.random.split(key, 3)
+    obs = jax.random.normal(k1, (T, B, obs_dim))
+    mean, std, value = jax.vmap(lambda o: net.apply(params, o, o))(obs)
+    std = jnp.broadcast_to(std[:, None, :], mean.shape)
+    actions = mean + std * jax.random.normal(k2, mean.shape)
+    rewards = jnp.full((T, B), jnp.inf)              # poisoned batch
+    logp = gaussian_log_prob(mean, std, actions)
+    dones = jnp.ones((T, B), bool)
+    batch = Transition(obs=obs, critic_obs=obs, actions=actions, rewards=rewards,
+                       dones=dones, values=value, log_probs=logp, mu=mean,
+                       sigma=std)
+    adv, ret = compute_gae(rewards, dones, value, jnp.zeros(B), cfg.gamma, cfg.lam)
+    new_state, metrics = jax.jit(
+        lambda s, k: ppo_update(net, cfg, s, batch, adv, ret, k, opt))(ppo_state, k3)
+    # params unchanged bit-for-bit, skip counted, and still finite
+    for a, b in zip(jax.tree.leaves(ppo_state.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(metrics["nonfinite_skips"]) >= 1.0
+
+
 def test_adaptive_lr_moves():
     """Adaptive-KL schedule adjusts lr within bounds."""
     cfg = PPOConfig(schedule="adaptive", desired_kl=0.01)
