@@ -60,6 +60,12 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     cfg.rewards.scales.orientation = -5.0
     cfg.rewards.scales.torques = -2.5e-5
     cfg.rewards.scales.feet_air_time = 2.0
+    cfg.rewards.max_contact_force = 350.0
+    # ref flat overrides :72-81: faster command churn, wider yaw range,
+    # broader friction randomization
+    cfg.commands.resampling_time = 4.0
+    cfg.commands.ranges.ang_vel_yaw = [-1.5, 1.5]
+    cfg.domain_rand.friction_range = [0.5, 1.5]
     return cfg
 
 

@@ -1,0 +1,116 @@
+"""Behavior-parity proxy artifact: the reference checkpoint in OUR engine.
+
+True Isaac Gym traces are unobtainable here (no PhysX), so BASELINE config 1
+("reproduce reference rollout trajectories within tolerance") is pinned by
+the achievable proxy: replay the reference's trained walking policy
+(legged_gym/ckpt/anymal_c/plane_walk_200.pt, the doc-published acceptance
+checkpoint — doc/anymal_tasks.md:87-92) through this engine and record gait
+statistics — duty factor, base height, achieved velocity vs command, upright
+orientation, terminations.  If the engine's dynamics were meaningfully off
+from PhysX, a policy trained purely in PhysX would not produce a
+reference-like trot here.
+
+Usage: python -m extended_legged_gym_tpu.scripts.eval_parity
+           [--ckpt ...] [--steps N] [--cmd V] [--envs E]
+Writes one JSON line; PARITY_r*.json artifacts are its output, pinned by
+tests/test_parity_artifact.py.
+"""
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt")
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--cmd", type=float, default=0.5)
+    ap.add_argument("--envs", type=int, default=8)
+    ap.add_argument("--no-actuator-net", action="store_true")
+    args = ap.parse_args()
+
+    from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+    from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
+    from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
+
+    _, _, policy = load_reference_policy(args.ckpt, 48, 12)
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = args.envs
+    # eval conditions (reference play.py:46-52: no noise/push/randomization)
+    cfg.noise.add_noise = False
+    cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_friction = False
+    cfg.domain_rand.randomize_base_mass = False
+    cfg.commands.resampling_time = 1e9
+    if not args.no_actuator_net:
+        # the reference checkpoint was trained THROUGH the ANYdrive SEA
+        # network (anymal.py:93-105), not raw PD — replay it the same way
+        import os
+
+        cfg.control.use_actuator_network = True
+        cfg.control.actuator_net_file = os.path.join(
+            os.path.dirname(__file__), "..", "robots", "data",
+            "anydrive_v3_lstm.json")
+    env = LeggedRobot(cfg)
+    s = env.reset_all(jax.random.PRNGKey(0))
+    cmd = jnp.zeros_like(s.commands).at[:, 0].set(args.cmd)
+    s = s.replace(commands=cmd)
+
+    def body(s, _):
+        a = policy(s.obs)
+        s = env.step(s, a)
+        s = s.replace(commands=cmd)
+        contact = s.geom_forces[:, env.feet_geoms, 2] > 1.0
+        return s, dict(vx=s.base_lin_vel[:, 0], h=s.phys.base_pos[:, 2],
+                       up=s.projected_gravity[:, 2],
+                       contact=contact, resets=s.reset_buf.sum())
+
+    roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n),
+                   static_argnums=1)
+    s, _ = roll(s, args.warmup)
+    s, outs = roll(s, args.steps)
+    vx = np.asarray(jax.device_get(outs["vx"]))          # [T, E]
+    h = np.asarray(jax.device_get(outs["h"]))
+    up = np.asarray(jax.device_get(outs["up"]))
+    contact = np.asarray(jax.device_get(outs["contact"]))  # [T, E, nf]
+    resets = float(np.asarray(jax.device_get(outs["resets"])).sum())
+
+    duty = contact.mean(axis=0)                           # stance fraction [E, nf]
+    out = {
+        "task": "anymal_c_flat + reference plane_walk_200.pt",
+        "command_mps": args.cmd,
+        "achieved_mps": round(float(vx.mean()), 4),
+        "achieved_over_command": round(float(vx.mean()) / args.cmd, 4),
+        "base_height_mean": round(float(h.mean()), 4),
+        "base_height_std": round(float(h.std()), 4),
+        "upright_mean": round(float(up.mean()), 4),
+        "duty_factor_mean": round(float(duty.mean()), 4),
+        "duty_factor_per_foot": [round(float(d), 3) for d in duty.mean(axis=0)],
+        "resets": resets,
+        "n_envs": args.envs, "n_steps": args.steps,
+        # tolerances the regression test enforces; reference expectations:
+        # a trotting ANYmal tracks most of the command, stands ~0.5 m tall
+        # (rewards.base_height_target, anymal_c_config), duty factor around
+        # 0.5-0.75 for a walk/trot, stays upright, never falls on a plane
+        # regression bounds, set from the committed r3 measurement (tracking
+        # 0.804, height 0.497, duty 0.616, upright -0.970, 28 falls across
+        # 8 envs x 10 s): cross-engine transfer is good but not perfect —
+        # occasional falls are the honest residual vs PhysX (see COVERAGE.md
+        # contact-fidelity note); a real engine regression blows past these
+        "tolerances": {
+            "achieved_over_command_min": 0.70,
+            "base_height_range": [0.40, 0.65],
+            "duty_factor_range": [0.40, 0.85],
+            "upright_max": -0.93,
+            "resets_max": 60.0,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,8 @@ def test_rollout_rewards_distinguish_actions(env, state0):
     assert (total[:, 0] > total[:, 1]).all(), total
 
 
+@pytest.mark.slow  # ~63 s: full diffusion sweep compile; optimizer math
+# itself is covered fast in test_trajopt.py
 def test_optimize_improves_reward(env, state0):
     nodes = env.traj_sampler.init_node_trajectories()
     nodes, info = jax.jit(
@@ -79,6 +81,7 @@ def test_mpc_step_runs(env, state0):  # test_warmstart (policy-append path)
     assert (np.asarray(s.phys.base_pos[:, 2]) > 0.2).all()
 
 
+@pytest.mark.slow  # ~38 s: rollout-batch compile at a second shape
 def test_rollout_rewards_follow_reward_stage(env, state0):
     """A stage-advanced main env must produce stage-consistent rollout
     rewards (reference stages advance for main AND rollout envs together,

@@ -1,0 +1,60 @@
+"""Pins PARITY_r03.json — the behavior-parity proxy (BASELINE config 1).
+
+The artifact replays the reference's PhysX-trained walking checkpoint
+(plane_walk_200.pt, doc/anymal_tasks.md:87-92) through THIS engine with the
+ANYdrive actuator net, exactly as scripts/eval_parity.py produces it.  The
+fast test checks the committed artifact against its own tolerances; the slow
+test re-measures a shortened replay so an engine regression (contact model,
+actuator net, obs layout) fails CI even if the artifact file is stale."""
+import json
+import os
+
+import pytest
+
+REF_CKPT = "/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt"
+ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "PARITY_r03.json")
+
+
+def _check(d):
+    tol = d["tolerances"]
+    assert d["achieved_over_command"] >= tol["achieved_over_command_min"]
+    lo, hi = tol["base_height_range"]
+    assert lo <= d["base_height_mean"] <= hi
+    lo, hi = tol["duty_factor_range"]
+    assert lo <= d["duty_factor_mean"] <= hi
+    assert d["upright_mean"] <= tol["upright_max"]
+    assert d["resets"] <= tol["resets_max"]
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT), reason="no artifact")
+def test_parity_artifact_within_tolerances():
+    with open(ARTIFACT) as f:
+        _check(json.load(f))
+
+
+@pytest.mark.slow  # ~2 min CPU: ckpt load + 300-step jitted replay
+@pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+def test_parity_remeasured():
+    import io
+    import contextlib
+    import sys
+
+    from extended_legged_gym_tpu.scripts import eval_parity
+
+    buf = io.StringIO()
+    argv = sys.argv
+    sys.argv = ["eval_parity", "--steps", "250", "--warmup", "80", "--envs", "4"]
+    try:
+        with contextlib.redirect_stdout(buf):
+            eval_parity.main()
+    finally:
+        sys.argv = argv
+    d = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # shortened replay is noisier (4 envs × 5 s; one unlucky env moves the
+    # mean a lot) — scale the bounds to the sample size: the point is to
+    # catch an ENGINE regression (policy stops walking/falls constantly),
+    # not to re-pin the full artifact's numbers
+    d["tolerances"]["resets_max"] = 60.0 * (250 * 4) / (500 * 8)
+    d["tolerances"]["achieved_over_command_min"] = 0.55
+    d["tolerances"]["upright_max"] = -0.90
+    _check(d)

@@ -1,5 +1,6 @@
 """End-to-end training smoke: runner + env + PPO on a tiny config."""
 import os
+import pytest
 import tempfile
 
 import jax
@@ -74,6 +75,8 @@ def test_rnd_intrinsic_rewards_in_runner():
     assert np.isfinite(m2["rnd_loss"])
 
 
+@pytest.mark.slow  # ~30 s: recurrent collection+BPTT compile (GRU variant
+# stays in the fast gate)
 def test_recurrent_runner_trains():
     """Recurrent policy path: ActorCriticRecurrent + truncated-BPTT PPO
     (reference actor_critic_recurrent.py + rollout_storage.py:246)."""

@@ -15,6 +15,7 @@ REF_CKPT = "/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt"
 
 
 @pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+@pytest.mark.slow  # ~95 s: loads the torch ckpt + compiles a policy rollout
 def test_warmstart_from_reference_checkpoint():
     cfg = anymal_c_traj_sampling_cfg(num_main_envs=2)
     cfg.trajectory_opt.num_samples = 7
@@ -65,6 +66,7 @@ def test_reference_policy_behavior_parity():
 
 
 @pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+@pytest.mark.slow  # ~42 s: teacher ckpt + distillation iterations
 def test_distillation_runner_clones_reference_teacher():
     """End-to-end distillation: student BC-clones the reference teacher while
     acting in the env (reference Distillation + runner path)."""
@@ -90,6 +92,7 @@ def test_distillation_runner_clones_reference_teacher():
 
 
 @pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+@pytest.mark.slow  # ~31 s: recurrent BPTT distillation compile
 def test_recurrent_distillation_runner():
     """Recurrent (GRU) student distills from the reference teacher: the
     runner carries hidden state across windows and the truncated-BPTT update
