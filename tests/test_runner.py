@@ -40,6 +40,27 @@ def test_train_iteration_runs_and_improves_nothing_breaks():
     assert diff > 0
 
 
+@pytest.mark.slow  # ~2 min CPU: 40 iterations at 64 envs
+def test_training_smoke_converging():
+    """VERDICT r2 #2 regression: N smoke iterations must keep finite losses
+    (zero non-finite skips) and show the early-learning signature — episode
+    length and tracking reward rising, action std NOT exploding (the
+    divergence mode of the bad r3 flat config was std 1.0→6+ with episodes
+    pinned at ~40 steps)."""
+    env, train = _tiny_setup(num_envs=64, steps=24)
+    runner = OnPolicyRunner(env, train)
+    first = runner.learn(1, log_interval=100)
+    last = runner.learn(39, log_interval=100)
+    assert np.isfinite(last["loss"]) and np.isfinite(last["mean_step_reward"])
+    assert last.get("nonfinite_skips", 0.0) == 0.0
+    assert last["action_std"] < 1.5, f"std exploding: {last['action_std']}"
+    # untrained policies fall in ~20 steps; 40 iterations must at least
+    # double survival (64-env smoke is noisy — full convergence evidence
+    # lives in TRAIN_r3.json / logs/flat_anymal_c)
+    assert last["mean_episode_length"] > 2.0 * first["mean_episode_length"], (
+        first["mean_episode_length"], last["mean_episode_length"])
+
+
 def test_save_load_roundtrip(tmp_path):
     env, train = _tiny_setup(num_envs=4, steps=4)
     runner = OnPolicyRunner(env, train, log_dir=str(tmp_path))
