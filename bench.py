@@ -29,6 +29,7 @@ at H=16 — scaled to H=64 (4x work per rollout) = 6,400 rollouts/s/chip is
 the 1.0 mark.
 """
 import json
+import os
 import time
 
 import jax
@@ -117,6 +118,15 @@ def main():
 
     to = cfg2.trajectory_opt
     target_h64 = 6400.0
+    # fold in the per-polish-mode solve latencies measured by
+    # scripts/bench_polish.py on the same chip (committed POLISH_r03.json),
+    # when present — VERDICT r2 #5 wants both polish modes in bench extras.
+    extras = {}
+    polish_path = os.path.join(os.path.dirname(__file__), "POLISH_r03.json")
+    if os.path.exists(polish_path):
+        with open(polish_path) as f:
+            extras["solve_ms_by_polish_mode"] = json.load(f)[
+                "solve_ms_by_polish_mode"]
     print(json.dumps({
         "metric": "rollouts/s/chip (ANYmal-C, H=64)",
         "value": round(rollouts_per_s, 2),
@@ -129,6 +139,7 @@ def main():
                         f" Hnode={to.horizon_nodes} Ndiffuse={to.num_diffuse_steps}"
                         f" polish={to.polish_method}x{to.polish_iters}"),
         "trajectory_opt": class_to_dict(to),
+        **extras,
     }))
 
 

@@ -178,6 +178,7 @@ class LeggedRobot:
                                            kt=cfg.sim.contact_kt),
             joint_damping=cfg.sim.joint_damping,
             solver=cfg.sim.solver,
+            enforce_dof_vel_limits=cfg.sim.enforce_dof_vel_limits,
         )
 
         # --- PD gains by joint-name matching (ref legged_robot.py:603-630) ---

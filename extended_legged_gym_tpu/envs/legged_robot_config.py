@@ -201,6 +201,10 @@ class SimCfg:
     contact_kt: float = 1.0e4
     joint_damping: float = 0.0
     solver: str = "pallas"  # 'pallas' (fused kernel on flat terrain, ABA fallback) | 'aba' | 'crba'
+    # hard-enforce URDF per-joint velocity limits, as PhysX does via
+    # maxJointVelocity (anymal_c.urdf velocity="20"); without it policies can
+    # spin light distal links to 100s of rad/s and pump energy from contacts
+    enforce_dof_vel_limits: bool = True
 
 
 @configclass

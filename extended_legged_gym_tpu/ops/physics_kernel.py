@@ -80,6 +80,12 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
     inertia_c = [tuple(_const3(model.inertia[i])) for i in range(nb)]
     armature_c = [float(model.armature[j]) for j in range(nj)]
     tlim = [float(model.torque_limits[j]) for j in range(nj)]
+    # hard per-joint velocity limits (PhysX maxJointVelocity; URDF velocity=).
+    # URDFs without a declared limit extract as 1e9 — keep the generic ±500
+    # containment clamp as the ceiling for those.
+    vlim = [min(float(model.dof_vel_limits[j]), 500.0)
+            if getattr(sp, "enforce_dof_vel_limits", True) else 500.0
+            for j in range(nj)]
 
     gb = tuple(model.geom_body_static)
     ng = len(gb)
@@ -314,7 +320,7 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
                     for k in range(3))
         nav = tuple(jnp.clip(avel[k] + dt * base_acc_ang[k], -100.0, 100.0)
                     for k in range(3))
-        njv = [jnp.clip(jv[j] + dt * qdd[j], -500.0, 500.0) for j in range(nj)]
+        njv = [jnp.clip(jv[j] + dt * qdd[j], -vlim[j], vlim[j]) for j in range(nj)]
         npos = tuple(pos[k] + dt * nlv[k] for k in range(3))
         njq = [jq[j] + dt * njv[j] for j in range(nj)]
         # quaternion exp-map update

@@ -216,7 +216,8 @@ def aba_physics_step(model: RobotModel, terrain: TerrainData, sp, state,
     # ---------------- integrate + report ----------------
     pos, quat, th_new, vel, om, thd = integrate(
         state.base_pos, state.base_quat, state.joint_pos,
-        state.base_lin_vel, state.base_ang_vel, state.joint_vel, udot, sp.dt)
+        state.base_lin_vel, state.base_ang_vel, state.joint_vel, udot, sp.dt,
+        joint_vel_limit=model.dof_vel_limits if sp.enforce_dof_vel_limits else None)
     new_state = PhysState(pos, quat, th_new, vel, om, thd)
 
     # implicit-consistent force reporting (matches engine.physics_step):

@@ -246,15 +246,24 @@ def forward_dynamics(
 
 
 def integrate(
-    base_pos, base_quat, joint_pos, base_lin_vel, base_ang_vel, joint_vel, udot, dt
+    base_pos, base_quat, joint_pos, base_lin_vel, base_ang_vel, joint_vel,
+    udot, dt, joint_vel_limit=None,
 ):
     """Semi-implicit Euler: velocities first, then positions with the new
-    velocities (matches PhysX's symplectic integrator order).  Velocities are
-    clamped to generous hard limits, the same guard PhysX applies via
-    max_linear/angular_velocity (reference legged_robot_config.py:232-233)."""
+    velocities (matches PhysX's symplectic integrator order).  Base velocities
+    are clamped to generous hard limits, the same guard PhysX applies via
+    max_linear/angular_velocity (reference legged_robot_config.py:232-233);
+    joint velocities are clamped to the URDF's per-joint velocity limits
+    (PhysX maxJointVelocity — e.g. anymal_c.urdf ``velocity="20"``), which the
+    PhysX solver hard-enforces.  Without this clamp a policy can spin light
+    distal links to 100s of rad/s ("propeller legs") and pump energy out of
+    the penalty contacts — a failure mode the reference sim cannot reach."""
     v = jnp.clip(base_lin_vel + dt * udot[0:3], -100.0, 100.0)
     w = jnp.clip(base_ang_vel + dt * udot[3:6], -100.0, 100.0)
-    thd = jnp.clip(joint_vel + dt * udot[6:], -500.0, 500.0)
+    # URDFs without a declared limit extract as 1e9 — keep the generic ±500
+    # containment clamp as the ceiling for those
+    vlim = 500.0 if joint_vel_limit is None else jnp.minimum(joint_vel_limit, 500.0)
+    thd = jnp.clip(joint_vel + dt * udot[6:], -vlim, vlim)
     pos = base_pos + dt * v
     angle = jnp.linalg.norm(w) * dt
     axis = w / jnp.clip(jnp.linalg.norm(w), 1e-9)

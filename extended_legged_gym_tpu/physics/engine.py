@@ -38,12 +38,15 @@ class SimParams:
     joint_damping: jnp.ndarray      # viscous joint damping added implicitly
     # 'aba' (O(n) sweeps, ~3x faster on TPU) or 'crba' (dense solve; oracle)
     solver: str = struct.field(pytree_node=False, default="aba")
+    # hard-enforce the URDF per-joint velocity limits (PhysX maxJointVelocity)
+    enforce_dof_vel_limits: bool = struct.field(pytree_node=False, default=True)
 
 
 def default_sim_params(dt: float = 0.005, gravity=(-0.0, 0.0, -9.81),
                        contact: ContactParams | None = None,
                        joint_damping: float = 0.0,
-                       solver: str = "aba") -> SimParams:
+                       solver: str = "aba",
+                       enforce_dof_vel_limits: bool = True) -> SimParams:
     """Constants stay HOST-side (numpy).  They trace into jitted code as
     embedded constants either way, but keeping them off the device matters
     on the axon TPU backend: one eager device→host read (e.g. the kernel
@@ -59,6 +62,7 @@ def default_sim_params(dt: float = 0.005, gravity=(-0.0, 0.0, -9.81),
         contact=contact if contact is not None else default_contact_params(),
         joint_damping=np.float32(joint_damping),
         solver=solver,
+        enforce_dof_vel_limits=enforce_dof_vel_limits,
     )
 
 
@@ -177,6 +181,7 @@ def _physics_step_f32(model, terrain, sp, state, joint_torque, env_params):
     pos, quat, th, v, w, thd = integrate(
         state.base_pos, state.base_quat, state.joint_pos,
         state.base_lin_vel, state.base_ang_vel, state.joint_vel, udot, sp.dt,
+        joint_vel_limit=model.dof_vel_limits if sp.enforce_dof_vel_limits else None,
     )
     new_state = PhysState(pos, quat, th, v, w, thd)
 

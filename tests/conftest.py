@@ -13,3 +13,12 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the fast gate is compile-dominated (every
+# env test compiles a full step graph); caching compiled executables across
+# runs/processes cuts repeat gate time several-fold.  File-based and safe
+# under xdist (atomic writes, content-hashed keys).  Delete .pytest_jax_cache
+# to measure a cold gate.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
