@@ -70,6 +70,26 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     cfg.commands.resampling_time = 10.0
     cfg.commands.ranges.ang_vel_yaw = [-1.0, 1.0]
     cfg.domain_rand.friction_range = [0.5, 1.25]
+    # NOTE engine-specific bootstrap (uses the reference's own multi-stage
+    # machinery, legged_robot_rew_mixin.py:31-38, as elspider does): with
+    # hard dof-velocity limits enforced the unphysical "thrash-standing"
+    # regime PhysX-tuned exploration relied on is gone, and at full penalty
+    # scales early PPO is reward-starved (only_positive_rewards clips the
+    # flailing fleet to zero reward everywhere → entropy inflates std →
+    # collapse; A/B on TPU 2026-08-20, NOTES_R3).  Stage 0 runs the penalty
+    # terms at 25% until mean episode reward crosses the threshold, then the
+    # reference scales apply; init_noise_std stays at the reference 1.0.
+    cfg.rewards.multi_stage_rewards = True
+    cfg.rewards.reward_max_stage = 1
+    cfg.rewards.reward_stage_threshold = 3.0
+    s = cfg.rewards.scales
+    s.lin_vel_z = [-0.5, -2.0]
+    s.ang_vel_xy = [-0.0125, -0.05]
+    s.orientation = [-1.25, -5.0]
+    s.torques = [-6.25e-6, -2.5e-5]
+    s.dof_acc = [-6.25e-8, -2.5e-7]
+    s.action_rate = [-0.0025, -0.01]
+    s.collision = [-0.25, -1.0]
     return cfg
 
 
