@@ -79,23 +79,39 @@ def elspider_air_flat_cfg() -> LeggedRobotCfg:
     cfg.terrain.measure_heights = False
     cfg.terrain.curriculum = False
     cfg.rewards.multi_stage_rewards = True
-    cfg.rewards.reward_stage_threshold = 6.0
+    # threshold is on mean EPISODE return; long surviving episodes can cross
+    # a low bar before tracking is established (measured: a 3.0 threshold
+    # fired while mean step reward was still ~0.004, and the full penalties
+    # then re-starved the policy) — require a genuinely walking-grade return
+    cfg.rewards.reward_stage_threshold = 8.0
     cfg.rewards.reward_max_stage = 1
     sc = cfg.rewards.scales
     sc.tracking_lin_vel = 1.0
     sc.tracking_ang_vel = 0.5
-    sc.lin_vel_z = -2.0
-    sc.ang_vel_xy = -0.05
-    sc.orientation = -5.0
-    sc.torques = -0.00001
-    sc.dof_acc = -5e-8
-    sc.base_height = -8.0
-    sc.feet_slip = [-0.0, -0.4]
+    # NOTE engine-specific bootstrap (same mechanism and rationale as
+    # anymal_c_flat_cfg): the reference stages only feet_slip; under this
+    # engine's hard velocity limits + penalty contacts, full penalty scales
+    # reward-starve early PPO (measured: rew/ep 0.002 and std 2.0 by iter
+    # 143), so every penalty term runs at 25% in stage 0 and the reference
+    # scales apply once mean episode reward crosses the threshold.
+    sc.lin_vel_z = [-0.5, -2.0]
+    sc.ang_vel_xy = [-0.0125, -0.05]
+    sc.orientation = [-1.25, -5.0]
+    sc.torques = [-2.5e-6, -0.00001]
+    sc.dof_acc = [-1.25e-8, -5e-8]
+    sc.base_height = [-2.0, -8.0]
+    # feet_slip calibrated for this engine: regularized Coulomb stiction has
+    # an inherent ~0.1 m/s stance-slip floor (contact.py kt_eff), so the
+    # reference's -0.4 charges every policy ~0.8/episode unavoidably —
+    # measured to re-starve training the moment stage 1 engaged (trk 0.66 →
+    # collapse, NOTES_R3).  -0.05 keeps the shaping signal without making
+    # the stage structurally reward-negative.
+    sc.feet_slip = [-0.0, -0.05]
     sc.feet_air_time = 0.8
-    sc.collision = -1.0
-    sc.action_rate = -0.001
-    sc.dof_pos_limits = -1.0
-    sc.gait_2_step = -5.0
+    sc.collision = [-0.25, -1.0]
+    sc.action_rate = [-0.00025, -0.001]
+    sc.dof_pos_limits = [-0.25, -1.0]
+    sc.gait_2_step = [-1.25, -5.0]
     return cfg
 
 
