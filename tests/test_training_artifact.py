@@ -66,3 +66,20 @@ def test_training_artifact_reproduces():
     # require >=90% of the claimed tracking and the same uprightness bar
     assert fresh["achieved_over_command"] >= 0.9 * art["achieved_over_command"]
     assert fresh["upright_mean"] < -0.95
+
+
+_ART_ELS = os.path.join(os.path.dirname(__file__), "..", "TRAIN_ELSPIDER_r3.json")
+
+
+@pytest.mark.skipif(not os.path.exists(_ART_ELS), reason="no elspider artifact")
+def test_elspider_training_artifact_meets_acceptance():
+    """The hexapod flat task trains to the reference convergence profile
+    (doc/elspider_air_tasks.md:28-43): near-perfect velocity tracking with
+    zero falls at 500 iterations."""
+    with open(_ART_ELS) as f:
+        art = json.load(f)
+    assert art["achieved_over_command"] >= 0.85, art
+    assert art["upright_mean"] < -0.95, art
+    assert art["falls"] <= 0.1 * art["n_envs"], art
+    ckpt = os.path.join(os.path.dirname(_ART_ELS), art["checkpoint"])
+    assert os.path.exists(ckpt), f"artifact checkpoint missing: {ckpt}"
