@@ -124,9 +124,13 @@ def main():
     extras = {}
     polish_path = os.path.join(os.path.dirname(__file__), "POLISH_r03.json")
     if os.path.exists(polish_path):
-        with open(polish_path) as f:
-            extras["solve_ms_by_polish_mode"] = json.load(f)[
-                "solve_ms_by_polish_mode"]
+        try:
+            with open(polish_path) as f:
+                by_mode = json.load(f).get("solve_ms_by_polish_mode")
+            if by_mode is not None:
+                extras["solve_ms_by_polish_mode"] = by_mode
+        except (json.JSONDecodeError, OSError):
+            pass  # a malformed artifact must not take down the benchmark
     print(json.dumps({
         "metric": "rollouts/s/chip (ANYmal-C, H=64)",
         "value": round(rollouts_per_s, 2),

@@ -367,6 +367,12 @@ class LeggedRobot:
 
         def scale_at_stage(v, stage):
             if isinstance(v, (list, tuple)):
+                # single-stage envs resolve staged lists to the FINAL stage:
+                # a derived task that disables multi_stage_rewards but inherits
+                # a staged parent's lists must run at the reference scales,
+                # not frozen at the stage-0 bootstrap (ADVICE r3)
+                if not self.cfg.rewards.multi_stage_rewards:
+                    return v[-1]
                 return v[stage] if stage < len(v) else v[-1]
             return v
 

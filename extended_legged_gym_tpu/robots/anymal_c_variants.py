@@ -139,12 +139,18 @@ def anymal_c_student_cfg() -> LeggedRobotCfg:
 
 def load_adapt_anymal_cfg() -> LeggedRobotCfg:
     cfg = anymal_c_flat_cfg()
+    # reference LoadAdaptAnymal is single-stage (anymal.py:136-147); drop the
+    # flat task's engine-bootstrap staging — staged lists resolve to their
+    # final (reference) scales in single-stage envs (ADVICE r3)
+    cfg.rewards.multi_stage_rewards = False
     cfg.rewards.scales.orientation = -5.0
     return cfg
 
 
 def pose_anymal_cfg() -> LeggedRobotCfg:
     cfg = anymal_c_flat_cfg()
+    # reference PoseAnymal is single-stage (anymal.py:194-250); see above
+    cfg.rewards.multi_stage_rewards = False
     cfg.commands.num_commands = 8
     sc = cfg.rewards.scales
     sc.pose_orientation = 1.0
@@ -155,6 +161,8 @@ def pose_anymal_cfg() -> LeggedRobotCfg:
 
 def stand_anymal_cfg() -> LeggedRobotCfg:
     cfg = anymal_c_flat_cfg()
+    # reference StandAnymal is single-stage (anymal.py:253-309); see above
+    cfg.rewards.multi_stage_rewards = False
     cfg.rewards.only_positive_rewards = False
     sc = cfg.rewards.scales
     sc.tracking_lin_vel = 0.0

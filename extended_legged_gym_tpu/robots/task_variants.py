@@ -329,6 +329,9 @@ def anymal_c_batch_rollout_cfg(num_main_envs: int = 16) -> RobotBatchRolloutCfg:
 def anymal_c_batch_rollout_flat_cfg(num_main_envs: int = 16) -> RobotBatchRolloutCfg:
     cfg = _copy_sections(RobotBatchRolloutCfg(), anymal_c.anymal_c_flat_cfg())
     cfg.env.num_envs = num_main_envs
+    # MPC rollout scoring has no stage-advancement runner: resolve the flat
+    # task's staged bootstrap lists to the reference scales (ADVICE r3)
+    cfg.rewards.multi_stage_rewards = False
     return cfg
 
 

@@ -1,56 +1,107 @@
 """Which gait does OUR reward landscape prefer: the reference checkpoint's
-walk (0.80 of command in this engine) or our PPO optimum (0.59)?
-Replays both through the FULL training env (rewards on, noise/DR off) at
-cmd 0.7 and prints per-term reward rates."""
-import json, os, sys
-import jax, jax.numpy as jnp, numpy as np
-import extended_legged_gym_tpu.robots  # noqa: F401
-from extended_legged_gym_tpu.utils.task_registry import task_registry
-import extended_legged_gym_tpu.robots as R
+walk or our PPO optimum?
 
-def build_env():
-    env_cfg, train_cfg = task_registry.get_cfgs("anymal_c_flat")
+Replays both policies through the FULL training env (rewards on, noise/DR
+off) and prints total + per-term reward rates, so reward-landscape claims
+(e.g. TRAIN_r3's "our optimum earns 2x the reference's step reward") are
+reproducible and attributable to specific terms.
+
+Usage:
+  python -m extended_legged_gym_tpu.scripts.compare_reference_reward \
+      [--ours logs/.../model_final.pkl] [--ref .../plane_walk_200.pt] \
+      [--task anymal_c_flat] [--cmd 0.7] [--steps 400] [--full-scales]
+
+Either checkpoint argument may be omitted to skip that side.
+"""
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import extended_legged_gym_tpu.robots  # noqa: F401 — populates the registry
+from extended_legged_gym_tpu.utils.task_registry import task_registry
+
+
+def build_env(task: str, full_scales: bool):
+    env_cfg, train_cfg = task_registry.get_cfgs(task)
     env_cfg.env.num_envs = 16
     env_cfg.noise.add_noise = False
     env_cfg.domain_rand.randomize_friction = False
     env_cfg.domain_rand.randomize_base_mass = False
     env_cfg.domain_rand.push_robots = False
     env_cfg.commands.resampling_time = 1e9
-    env, _ = task_registry.make_env("anymal_c_flat", env_cfg=env_cfg)
+    if full_scales:
+        # resolve staged bootstrap lists to the final (reference) scales so
+        # the comparison is against the objective that matters at convergence
+        env_cfg.rewards.multi_stage_rewards = False
+    env, _ = task_registry.make_env(task, env_cfg=env_cfg)
     return env, train_cfg
 
-def run(env, policy, label):
+
+def run(env, policy, label: str, cmd_mps: float, steps: int):
     s = env.reset_all(jax.random.PRNGKey(0))
-    cmd = jnp.zeros_like(s.commands).at[:, 0].set(0.7)
+    cmd = jnp.zeros_like(s.commands).at[:, 0].set(cmd_mps)
     s = s.replace(commands=cmd)
+
     def body(s, _):
+        sums_before = s.episode_sums
         a = policy(s.obs)
         s = env.step(s, a).replace(commands=cmd)
-        return s, (s.rew, s.base_lin_vel[:, 0], s.episode_return * 0.0)
-    roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n), static_argnums=1)
-    s, _ = roll(s, 100)
-    # accumulate per-term sums via the env's reward table: re-run terms
-    names = env.reward_names
-    def body2(s, _):
-        a = policy(s.obs)
-        s = env.step(s, a).replace(commands=cmd)
-        return s, (s.rew, s.base_lin_vel[:, 0])
-    s2, (rew, vx) = jax.jit(lambda s, n: jax.lax.scan(body2, s, None, length=n), static_argnums=1)(s, 400)
+        # per-term per-step contribution; a reset zeroes the sums, so mask
+        # those steps out of the rate instead of counting a negative delta
+        deltas = {n: s.episode_sums[n] - sums_before[n] for n in sums_before}
+        return s, (s.rew, s.base_lin_vel[:, 0], s.reset_buf, deltas)
+
+    roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n),
+                   static_argnums=1)
+    s, _ = roll(s, 100)                       # warmup / settle
+    s, (rew, vx, resets, deltas) = roll(s, steps)
     g = lambda x: np.asarray(jax.device_get(x))
-    print(json.dumps({"label": label,
+    ok = ~g(resets)                           # [T, E]
+    per_term = {n: round(float(g(d)[ok].mean()), 6)
+                for n, d in sorted(deltas.items())}
+    out = {
+        "label": label,
         "mean_step_reward": round(float(g(rew).mean()), 5),
-        "achieved_over_command": round(float(g(vx).mean()) / 0.7, 4)}))
+        "achieved_over_command": round(float(g(vx).mean()) / cmd_mps, 4),
+        "resets": int(ok.size - ok.sum()),
+        "per_term_reward_rate": per_term,
+    }
+    print(json.dumps(out))
+    return out
 
-env, train_cfg = build_env()
 
-# ours
-from extended_legged_gym_tpu.rl.runner import OnPolicyRunner
-runner = OnPolicyRunner(env, train_cfg)
-runner.load("logs/flat_anymal_c/Aug20_20-45-05_r3_walk/model_final.pkl")
-run(env, runner.get_inference_policy(), "ours_pd_1000it")
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ours", default="logs/flat_anymal_c/Aug20_20-45-05_r3_walk/model_final.pkl",
+                    help="our PPO checkpoint (.pkl); empty string to skip")
+    ap.add_argument("--ref", default="/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt",
+                    help="reference torch checkpoint (.pt); empty string to skip")
+    ap.add_argument("--task", default="anymal_c_flat")
+    ap.add_argument("--cmd", type=float, default=0.7)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--full-scales", action="store_true",
+                    help="score at the final-stage (reference) reward scales")
+    args = ap.parse_args()
 
-# reference ckpt (needs obs WITHOUT normalizer — uses raw obs; ref policy has its own normalization? plane_walk trained with EmpiricalNormalization? loader handles it)
-from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
-_, _, ref_policy = load_reference_policy(
-    "/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt", 48, 12)
-run(env, ref_policy, "reference_plane_walk_200")
+    env, train_cfg = build_env(args.task, args.full_scales)
+
+    if args.ours:
+        from extended_legged_gym_tpu.rl.runner import OnPolicyRunner
+
+        runner = OnPolicyRunner(env, train_cfg)
+        runner.load(args.ours)
+        run(env, runner.get_inference_policy(), "ours", args.cmd, args.steps)
+
+    if args.ref:
+        from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
+
+        _, _, ref_policy = load_reference_policy(args.ref, env.num_obs,
+                                                 env.num_actions)
+        run(env, ref_policy, "reference", args.cmd, args.steps)
+
+
+if __name__ == "__main__":
+    main()

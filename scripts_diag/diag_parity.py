@@ -1,0 +1,138 @@
+"""Round-4 diagnosis: WHY does the reference plane_walk_200.pt fall here?
+
+Replays the reference checkpoint (same setup as scripts/eval_parity.py) and
+records a dense per-step trace, then prints, for each termination event, the
+10 control steps leading up to it: base height, base contact force, per-foot
+contact/slip, min foot height, joint-vel maxima.  Also prints aggregate
+stance-slip statistics (the regularized-stiction floor VERDICT Missing #2
+points at) and touchdown normal-force spikes.
+"""
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt")
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--cmd", type=float, default=0.5)
+    ap.add_argument("--envs", type=int, default=8)
+    ap.add_argument("--no-actuator-net", action="store_true")
+    args = ap.parse_args()
+
+    from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+    from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
+    from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
+
+    _, _, policy = load_reference_policy(args.ckpt, 48, 12)
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = args.envs
+    cfg.noise.add_noise = False
+    cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_friction = False
+    cfg.domain_rand.randomize_base_mass = False
+    cfg.commands.resampling_time = 1e9
+    if not args.no_actuator_net:
+        cfg.control.use_actuator_network = True
+        cfg.control.actuator_net_file = os.path.join(
+            os.path.dirname(__file__), "..", "extended_legged_gym_tpu",
+            "robots", "data", "anydrive_v3_lstm.json")
+    env = LeggedRobot(cfg)
+    s = env.reset_all(jax.random.PRNGKey(0))
+    cmd = jnp.zeros_like(s.commands).at[:, 0].set(args.cmd)
+    s = s.replace(commands=cmd)
+
+    base_geoms = jnp.asarray([g for g, l in enumerate(env.model.geom_links) if l == "base"])
+    knee_geoms = jnp.asarray([g for g, l in enumerate(env.model.geom_links) if l.endswith("KFE")])
+    shank_geoms = jnp.asarray([g for g, l in enumerate(env.model.geom_links) if l.endswith("SHANK")])
+
+    def body(s, _):
+        a = policy(s.obs)
+        s = env.step(s, a)
+        s = s.replace(commands=cmd)
+        fz = s.geom_forces[:, env.feet_geoms, 2]
+        contact = fz > 1.0
+        slip = jnp.linalg.norm(s.foot_velocities[..., :2], axis=-1)
+        rec = dict(
+            vx=s.base_lin_vel[:, 0],
+            h=s.phys.base_pos[:, 2],
+            up=s.projected_gravity[:, 2],
+            base_f=jnp.linalg.norm(s.geom_forces[:, base_geoms], axis=-1).max(axis=-1),
+            knee_f=jnp.linalg.norm(s.geom_forces[:, knee_geoms], axis=-1).max(axis=-1),
+            shank_f=jnp.linalg.norm(s.geom_forces[:, shank_geoms], axis=-1).max(axis=-1),
+            contact=contact,
+            fz=fz,
+            slip=slip,
+            foot_h=s.foot_positions[..., 2],
+            jv_max=jnp.abs(s.phys.joint_vel).max(axis=-1),
+            reset=s.reset_buf,
+            pitchroll=jnp.linalg.norm(s.projected_gravity[:, :2], axis=-1),
+        )
+        return s, rec
+
+    roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n),
+                   static_argnums=1)
+    s, _ = roll(s, args.warmup)
+    s, outs = roll(s, args.steps)
+    o = {k: np.asarray(jax.device_get(v)) for k, v in outs.items()}
+
+    T, E = o["h"].shape
+    resets = o["reset"]  # [T, E] bool
+    n_resets = int(resets.sum())
+    print(f"=== {n_resets} resets over {T} steps x {E} envs ===")
+
+    # --- per-event context ---
+    events = np.argwhere(resets)
+    for t, e in events[:30]:
+        lo = max(0, t - 10)
+        print(f"\n--- reset env {e} at step {t} ---")
+        for tt in range(lo, min(T, t + 2)):
+            c = "".join("#" if x else "." for x in o["contact"][tt, e])
+            print(f"  t={tt} h={o['h'][tt,e]:.3f} up={o['up'][tt,e]:+.3f} "
+                  f"pr={o['pitchroll'][tt,e]:.3f} vx={o['vx'][tt,e]:+.2f} "
+                  f"baseF={o['base_f'][tt,e]:7.1f} kneeF={o['knee_f'][tt,e]:7.1f} "
+                  f"shankF={o['shank_f'][tt,e]:6.1f} "
+                  f"c={c} slip={o['slip'][tt,e].max():.2f} "
+                  f"fz_max={o['fz'][tt,e].max():6.1f} jv={o['jv_max'][tt,e]:5.1f} "
+                  f"footh_min={o['foot_h'][tt,e].min():+.3f}")
+
+    # --- aggregate stance-slip stats (excluding steps near resets) ---
+    near_reset = np.zeros((T, E), bool)
+    for t, e in events:
+        near_reset[max(0, t - 20):min(T, t + 20), e] = True
+    ok = ~near_reset
+    stance = o["contact"] & ok[..., None]
+    slip_in_stance = o["slip"][stance]
+    print("\n=== stance slip (away from resets) ===")
+    if len(slip_in_stance):
+        print(f"  mean={slip_in_stance.mean():.4f} median={np.median(slip_in_stance):.4f} "
+              f"p90={np.percentile(slip_in_stance, 90):.4f} p99={np.percentile(slip_in_stance, 99):.4f} m/s")
+    # touchdown detection: contact rising edge
+    rising = o["contact"][1:] & ~o["contact"][:-1] & ok[1:, :, None]
+    fz_td = o["fz"][1:][rising]
+    fz_stance = o["fz"][o["contact"] & ok[..., None]]
+    print("=== normal forces ===")
+    print(f"  touchdown-step fz: mean={fz_td.mean():.1f} p99={np.percentile(fz_td, 99):.1f} N")
+    print(f"  stance fz: mean={fz_stance.mean():.1f} p99={np.percentile(fz_stance, 99):.1f} N "
+          f"(static per-foot ~{26.37 + 4 * 6.44:.0f}kg total)")
+    print("=== base height ===")
+    print(f"  mean={o['h'][ok].mean():.4f} std={o['h'][ok].std():.4f}")
+    print("=== tracking ===")
+    print(f"  vx mean={o['vx'][ok].mean():.4f} / cmd {args.cmd}")
+    print("=== duty factor per foot ===", o["contact"][ok].mean(axis=0))
+    # knee/shank grazing incidence away from resets
+    print("=== contact incidence (away from resets) ===")
+    print(f"  base force>1N: {(o['base_f'][ok] > 1.0).mean()*100:.2f}% of steps")
+    print(f"  knee force>1N: {(o['knee_f'][ok] > 1.0).mean()*100:.2f}%")
+    print(f"  shank force>1N: {(o['shank_f'][ok] > 1.0).mean()*100:.2f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -119,3 +119,42 @@ def test_plot_logger_collects_and_exports(tmp_path):
     if png is not None:
         assert os.path.exists(png)
     lg.print_rewards()
+
+
+def test_staged_scales_resolve_to_final_in_single_stage_envs():
+    """A derived cfg that disables multi_stage_rewards but inherits staged
+    scale LISTS from anymal_c_flat must run at the final (reference) scales,
+    not frozen at the stage-0 bootstrap (ADVICE r3)."""
+    from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
+    from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
+
+    cfg = anymal_c_flat_cfg()
+    cfg.env.num_envs = 2
+    cfg.rewards.multi_stage_rewards = False
+    assert isinstance(cfg.rewards.scales.lin_vel_z, list)  # inherited staging
+    env = LeggedRobot(cfg)
+    assert env.reward_scale_table.shape[0] == 1
+    j = env.reward_names.index("lin_vel_z")
+    expected = cfg.rewards.scales.lin_vel_z[-1] * env.dt
+    assert abs(float(env.reward_scale_table[0, j]) - expected) < 1e-9
+
+    # staged env still starts at stage 0
+    cfg2 = anymal_c_flat_cfg()
+    cfg2.env.num_envs = 2
+    env2 = LeggedRobot(cfg2)
+    j2 = env2.reward_names.index("lin_vel_z")
+    assert abs(float(env2.reward_scale_table[0, j2])
+               - cfg2.rewards.scales.lin_vel_z[0] * env2.dt) < 1e-9
+
+
+def test_derived_anymal_variants_are_single_stage():
+    """Reference Pose/Stand/LoadAdapt/batch-rollout-flat anymal tasks are
+    single-stage; the flat task's engine bootstrap must not leak (ADVICE r3)."""
+    from extended_legged_gym_tpu.robots.anymal_c_variants import (
+        load_adapt_anymal_cfg, pose_anymal_cfg, stand_anymal_cfg)
+    from extended_legged_gym_tpu.robots.task_variants import (
+        anymal_c_batch_rollout_flat_cfg)
+
+    for factory in (load_adapt_anymal_cfg, pose_anymal_cfg, stand_anymal_cfg,
+                    anymal_c_batch_rollout_flat_cfg):
+        assert factory().rewards.multi_stage_rewards is False, factory.__name__
