@@ -527,8 +527,15 @@ class LeggedRobot:
         if self.model.fix_base:
             lin_vel = jnp.zeros_like(lin_vel)
             ang_vel = jnp.zeros_like(ang_vel)
+        ng = self.model.geom_radius.shape[0]
+        # friction anchors seed at the base xy (same philosophy as
+        # _seed_geom_pos): geoms start out of contact after a reset, so the
+        # anchors converge to the true geom positions before touchdown, and a
+        # same-step contact costs at most one cone-bounded impulse
+        anchor = jnp.broadcast_to(pos[:, None, :2], (B, ng, 2))
         return PhysState(base_pos=pos, base_quat=quat, joint_pos=dof_pos,
-                         base_lin_vel=lin_vel, base_ang_vel=ang_vel, joint_vel=dof_vel)
+                         base_lin_vel=lin_vel, base_ang_vel=ang_vel,
+                         joint_vel=dof_vel, contact_anchor=anchor)
 
     def _sample_commands(self, key, commands, mask, lin_vel_x_range):
         """Resample commands for masked envs (ref legged_robot.py:407-423)."""

@@ -23,9 +23,9 @@ Two regimes:
 One robot morphology per kernel (rebuild per model — cached).
 
 Layout: state packed as ``(NS, B//128, 128)`` with rows
-[pos(3), quat(4), jpos(nj), lvel(3), avel(3), jvel(nj)]; B must be a
-multiple of 1024.  Equivalence vs physics/aba.py is pinned in
-tests/test_physics_kernel.py.
+[pos(3), quat(4), jpos(nj), lvel(3), avel(3), jvel(nj),
+contact_anchor(2·ng)]; B must be a multiple of 1024.  Equivalence vs
+physics/aba.py is pinned in tests/test_physics_kernel.py.
 """
 from __future__ import annotations
 
@@ -69,7 +69,12 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
     from jax.experimental.pallas import tpu as pltpu
 
     nb, nj = model.nb, model.nj
-    NS = 13 + 2 * nj
+    ngeom = len(model.geom_body_static)
+    # state rows: [pos(3), quat(4), jpos(nj), lvel(3), avel(3), jvel(nj),
+    #              contact_anchor(2·ng)] — the friction anchors (contact.py)
+    # ride in the packed state so the decimated scan carries them for free
+    NS = 13 + 2 * nj + 2 * ngeom
+    ANCH0 = 13 + 2 * nj
     parent = tuple(model.parent)
     jrot = [None] + [tuple(_const3(np.asarray(model.joint_origin_rot[i])))
                      for i in range(1, nb)]
@@ -106,6 +111,8 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
     kd = float(sp.contact.kd)
     ktmax = float(sp.contact.kt)
     mu0 = float(sp.contact.mu)
+    kts = float(getattr(sp.contact, "kt_spring", 3.0e4))
+    vud = float(getattr(sp.contact, "unload_speed", 0.05))
     jdamp = float(sp.joint_damping)
     h0 = float(terrain_height)
 
@@ -214,21 +221,47 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
             active = (depth > 0.0).astype(gp[2].dtype)
             depth_a = jnp.maximum(depth, 0.0)
             fn_el = kp * depth_a
-            fn_est = jnp.maximum(fn_el - kd * vn, 0.0) * active
+            # approach-gated normal damping: full kd while approaching,
+            # fading to zero once receding faster than vud — an ungated
+            # damper acts as liftoff adhesion PhysX never produces
+            # (contact.py for the full rationale)
+            kd_g = kd * jnp.clip(1.0 - vn / vud, 0.0, 1.0)
+            fn_est = jnp.maximum(fn_el - kd_g * vn, 0.0) * active
             mu = mu0 * fric
             kt_eff = jnp.minimum(ktmax, mu * fn_est / jnp.maximum(vt_norm, 1e-3))
             kt_a = kt_eff * active
-            kdm = (kd - kt_eff) * active
-            # world force f = f_el − D v, D = kt I + (kd−kt) n nᵀ
+            kdm = (kd_g - kt_eff) * active
+            # anchor stiction spring (contact.py): tangential displacement
+            # since touchdown, clamped to the cone budget the damper leaves
+            ax = state_ref[ANCH0 + 2 * g]
+            ay = state_ref[ANCH0 + 2 * g + 1]
+            dx = gp[0] - ax
+            dy = gp[1] - ay
+            if rough:
+                dd_n = dx * n_w[0] + dy * n_w[1]
+                d_t = (dx - dd_n * n_w[0], dy - dd_n * n_w[1], -dd_n * n_w[2])
+            else:
+                d_t = (dx, dy, dx * 0.0)
+            dn = jnp.sqrt(d_t[0] * d_t[0] + d_t[1] * d_t[1]
+                          + d_t[2] * d_t[2] + 1e-18)
+            budget = jnp.maximum(mu * fn_est - kt_eff * vt_norm, 0.0)
+            cf = jnp.minimum(1.0, budget / jnp.maximum(kts * dn, 1e-9))
+            sca = kts * cf * active
+            f_s = (-sca * d_t[0], -sca * d_t[1], -sca * d_t[2])
+            # updated anchor: slide with the point where the cone clamps;
+            # track the point exactly while out of contact
+            out_ref[ANCH0 + 2 * g] = gp[0] - cf * dx * active
+            out_ref[ANCH0 + 2 * g + 1] = gp[1] - cf * dy * active
+            # world force f = f_el + f_s − D v, D = kt I + (kd_g−kt) n nᵀ
             fz_el = fn_el * active
             if rough:
-                f_w = tuple(fz_el * n_w[k] - kt_a * gv[k] - kdm * vn * n_w[k]
-                            for k in range(3))
+                f_w = tuple(fz_el * n_w[k] + f_s[k] - kt_a * gv[k]
+                            - kdm * vn * n_w[k] for k in range(3))
             else:
-                f_w = (-kt_a * gv[0], -kt_a * gv[1],
-                       fz_el - (kt_a + kdm) * gv[2])
+                f_w = (f_s[0] - kt_a * gv[0], f_s[1] - kt_a * gv[1],
+                       fz_el + f_s[2] - (kt_a + kdm) * gv[2])
             # stash per-geom quantities for implicit-consistent reporting
-            gstash.append((b, gv, fz_el, kt_a, kdm, active, n_w))
+            gstash.append((b, gv, fz_el, kt_a, kdm, active, n_w, f_s))
             # body-coords spatial force at body origin
             f_b = tm.m3_vecT(R[b], f_w)
             n_sp = tm.v6(tm.v3_cross(goff[g], f_b), f_b)
@@ -353,7 +386,7 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
         # implicit-consistent forces via post-step point velocities (matches
         # physics/aba.py: v_new = v + dt·a_point from the true body accels)
         for g in range(ng):
-            b, gv, fz_el, kt_a, kdm, active, n_w = gstash[g]
+            b, gv, fz_el, kt_a, kdm, active, n_w, f_s = gstash[g]
             w_i = V[b][0:3]
             vl_i = V[b][3:6]
             a_cl = tm.v3_add(A[b][3:6], tm.v3_cross(w_i, vl_i))
@@ -366,12 +399,14 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
                 vn_new = (n_w[0] * vnew[0] + n_w[1] * vnew[1]
                           + n_w[2] * vnew[2])
                 for k in range(3):
-                    gf_ref[3 * g + k] = (fz_el * n_w[k] - kt_a * vnew[k]
+                    gf_ref[3 * g + k] = (fz_el * n_w[k] + f_s[k]
+                                         - kt_a * vnew[k]
                                          - kdm * vn_new * n_w[k]) * active
             else:
-                gf_ref[3 * g + 0] = (-kt_a * vnew[0]) * active
-                gf_ref[3 * g + 1] = (-kt_a * vnew[1]) * active
-                gf_ref[3 * g + 2] = (fz_el - (kt_a + kdm) * vnew[2]) * active
+                gf_ref[3 * g + 0] = (f_s[0] - kt_a * vnew[0]) * active
+                gf_ref[3 * g + 1] = (f_s[1] - kt_a * vnew[1]) * active
+                gf_ref[3 * g + 2] = (fz_el + f_s[2]
+                                     - (kt_a + kdm) * vnew[2]) * active
             if rough:
                 gp = tm.v3_add(P[b], tm.m3_vec(R[b], goff[g]))
                 for k in range(3):
@@ -436,10 +471,19 @@ def build_flat_physics_kernel(model, sp, terrain_height: float = 0.0,
 # packing helpers: PhysState [B, ...] ↔ packed (NS, B//128, 128)
 # ---------------------------------------------------------------------------
 
-def pack_state(phys, nj: int) -> jnp.ndarray:
+def pack_state(phys, nj: int, ng: int | None = None) -> jnp.ndarray:
+    B = phys.base_pos.shape[0]
+    anchor = phys.contact_anchor
+    if anchor is None:
+        # fresh state: seed anchors at the base xy (zero-ish displacement,
+        # cone-bounded error for at most the first contact step)
+        if ng is None:
+            raise ValueError("pack_state needs ng to seed a None contact_anchor")
+        anchor = jnp.broadcast_to(phys.base_pos[:, None, :2], (B, ng, 2))
     rows = jnp.concatenate([
         phys.base_pos.T, phys.base_quat.T, phys.joint_pos.T,
         phys.base_lin_vel.T, phys.base_ang_vel.T, phys.joint_vel.T,
+        anchor.reshape(B, -1).T,
     ], axis=0)                                     # (NS, B)
     NS, B = rows.shape
     return rows.reshape(NS, B // LANE, LANE)
@@ -450,6 +494,7 @@ def unpack_state(packed: jnp.ndarray, nj: int):
 
     NS = packed.shape[0]
     rows = packed.reshape(NS, -1)                  # (NS, B)
+    B = rows.shape[1]
     return PhysState(
         base_pos=rows[0:3].T,
         base_quat=rows[3:7].T,
@@ -457,6 +502,7 @@ def unpack_state(packed: jnp.ndarray, nj: int):
         base_lin_vel=rows[7 + nj:10 + nj].T,
         base_ang_vel=rows[10 + nj:13 + nj].T,
         joint_vel=rows[13 + nj:13 + 2 * nj].T,
+        contact_anchor=rows[13 + 2 * nj:].T.reshape(B, -1, 2),
     )
 
 
@@ -495,7 +541,7 @@ def make_env_step(model, sp, terrain_height: float = 0.0, interpret: bool = Fals
             q = phys_p.base_quat.at[B:, 3].set(1.0)
             phys_p = phys_p.replace(base_quat=q,
                                     base_pos=phys_p.base_pos.at[B:, 2].set(10.0))
-        packed = pack_state(phys_p, nj)
+        packed = pack_state(phys_p, nj, ng)
         tau_p = pack_rows(padb(tau))
         fric = padb(env_params.friction_scale[:, None]).T.reshape(1, -1, LANE)
         delta = padb(env_params.base_mass_delta[:, None]).T.reshape(1, -1, LANE)
@@ -555,7 +601,7 @@ def make_env_step_rough(model, sp, terrain, interpret: bool = False):
             q = phys_p.base_quat.at[B:, 3].set(1.0)
             phys_p = phys_p.replace(base_quat=q,
                                     base_pos=phys_p.base_pos.at[B:, 2].set(100.0))
-        packed = pack_state(phys_p, nj)
+        packed = pack_state(phys_p, nj, ng)
         tau_p = pack_rows(padb(tau))
         fric = padb(env_params.friction_scale[:, None]).T.reshape(1, -1, LANE)
         delta = padb(env_params.base_mass_delta[:, None]).T.reshape(1, -1, LANE)
@@ -638,7 +684,7 @@ def make_decimated_env_step(model, sp, terrain, decimation: int,
             q = phys_p.base_quat.at[B:, 3].set(1.0)
             phys_p = phys_p.replace(base_quat=q,
                                     base_pos=phys_p.base_pos.at[B:, 2].set(100.0))
-        packed = pack_state(phys_p, nj)
+        packed = pack_state(phys_p, nj, ng)
         act_p = pack_rows(padb(actions * action_scale))          # (nj, R, L)
         fric = padb(env_params.friction_scale[:, None]).T.reshape(1, -1, LANE)
         delta = padb(env_params.base_mass_delta[:, None]).T.reshape(1, -1, LANE)

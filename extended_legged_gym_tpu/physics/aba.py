@@ -128,7 +128,8 @@ def aba_physics_step(model: RobotModel, terrain: TerrainData, sp, state,
         R_w[gb[g]] @ (v[gb[g]][3:] + jnp.cross(v[gb[g]][:3], model.geom_offset[g]))
         for g in range(len(gb))])
     cp = sp.contact.replace(mu=sp.contact.mu * terrain.friction * env_params.friction_scale)
-    contact = sphere_terrain_contact(terrain, cp, g_pos, g_vel, model.geom_radius)
+    contact = sphere_terrain_contact(terrain, cp, g_pos, g_vel, model.geom_radius,
+                                     anchor=state.contact_anchor)
     f_expl = contact.f_el - contact.apply_D(g_vel)      # [ng, 3] world
 
     # ---------------- pass 2: articulated inertias + bias forces ----------------
@@ -218,7 +219,7 @@ def aba_physics_step(model: RobotModel, terrain: TerrainData, sp, state,
         state.base_pos, state.base_quat, state.joint_pos,
         state.base_lin_vel, state.base_ang_vel, state.joint_vel, udot, sp.dt,
         joint_vel_limit=model.dof_vel_limits if sp.enforce_dof_vel_limits else None)
-    new_state = PhysState(pos, quat, th_new, vel, om, thd)
+    new_state = PhysState(pos, quat, th_new, vel, om, thd, contact.anchor)
 
     # implicit-consistent force reporting (matches engine.physics_step):
     # post-step point velocity from the true body accelerations

@@ -1,20 +1,39 @@
 """Sphere-vs-heightfield contact model with semi-implicit penalty forces.
 
 TPU-native replacement for PhysX's TGS contact solve (reference sim params:
-legged_robot_config.py:256-267).  Design notes:
+legged_gym/legged_gym/envs/base/legged_robot_config.py:256-267).  Design:
 
 * Every collision geom is a sphere (see urdf.py); contact candidates are
   *all* geoms every step — no broadphase, no dynamic shapes.  This removes
   the PhysX broadphase pathology the reference works around with
   ``rollout_envs_sync_pos_drift`` (robot_batch_rollout.py:1493-1497).
-* Normal force: Kelvin–Voigt spring-damper, ``fn = kp·φ − kd·vn`` clipped ≥ 0.
-* Friction: regularized Coulomb with an adaptive tangential damping
-  coefficient ``kt_eff = min(kt, μ·fn/|vt|)`` so the friction cone is
-  respected while stiction stays stiff.
-* The damping part (normal kd + tangential kt_eff) is returned separately as
-  a per-contact damping matrix D; the engine folds ``dt·JᵀDJ`` into the mass
-  matrix (implicit damping), which keeps large kt stable at dt = 5 ms —
-  the key to low foot drift without a velocity-level LCP solve.
+* Normal force: Kelvin–Voigt spring-damper ``fn = kp·φ − kd_g·vn`` where the
+  damper is GATED by the approach velocity: full ``kd`` while approaching
+  (vn ≤ 0), ramping to zero once the point recedes faster than
+  ``unload_speed``.  An ungated damper acts as *adhesion* during liftoff
+  (−kd·vn can exceed kp·φ while still penetrated, yanking a departing foot
+  back down by hundreds of newtons every swing initiation) — PhysX's
+  unilateral solver never pulls.  The gate keeps full impact/stance damping
+  (vn ≤ 0) and caps residual adhesion at kd·unload_speed/4.
+* Friction = implicit viscous damper + explicit ANCHOR SPRING (true
+  stiction).  The damper uses an adaptive coefficient
+  ``kt_eff = min(kt, μ·fn/|vt|)`` so it alone respects the friction cone.
+  On top, each geom carries a contact-anchor point (state, [2] world xy):
+  while in contact the spring ``f_s = −kt_spring·d_t`` (d_t = tangential
+  part of p−anchor) holds the point where it touched down — eliminating the
+  steady-state slip floor a viscous-only model needs to transmit force
+  (a viscous model slips at |f_t|/kt ≈ 1 cm/s forever; the spring holds at
+  a fixed ≤ f_t/kt_spring ≈ 3 mm displacement with ZERO steady slip, which
+  is what PhysX's velocity-level TGS solve produces).  The spring gets the
+  friction-cone budget the damper isn't using, ``μ·fn − kt_eff·|vt|``, so
+  damper+spring together never exceed the cone; when the budget clamps the
+  spring, the anchor slides along with the point (kinetic friction).
+  Anchors are plain state: out of contact they track the point (zero
+  displacement), so touchdown always starts with d = 0 and a stale anchor
+  after a teleporting reset costs at most one cone-bounded impulse.
+* The damping part (normal kd_g + tangential kt_eff) is returned separately
+  as a per-contact damping matrix D; the engine folds ``dt·JᵀDJ`` into the
+  mass matrix (implicit damping), which keeps large kt stable at dt = 5 ms.
 """
 from __future__ import annotations
 
@@ -30,12 +49,15 @@ from ..terrain.heightfield import (TerrainData, sample_ceiling,
 @struct.dataclass
 class ContactParams:
     kp: jnp.ndarray          # normal stiffness [N/m]
-    kd: jnp.ndarray          # normal damping [N·s/m]
+    kd: jnp.ndarray          # normal damping [N·s/m] (approach-gated)
     kt: jnp.ndarray          # max tangential (stiction) damping [N·s/m]
     mu: jnp.ndarray          # friction coefficient (terrain × env randomization)
+    kt_spring: jnp.ndarray   # tangential anchor-spring stiffness [N/m]
+    unload_speed: jnp.ndarray  # vn ramp width for the normal-damper gate [m/s]
 
 
-def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0) -> ContactParams:
+def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0,
+                           kt_spring=3.0e4, unload_speed=0.05) -> ContactParams:
     """Host-side (numpy) constants — see default_sim_params for why eager
     device residency of scalar params is a latency trap on axon."""
     import numpy as np
@@ -45,20 +67,23 @@ def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0) -> ContactParam
         kd=np.float32(kd),
         kt=np.float32(kt),
         mu=np.float32(mu),
+        kt_spring=np.float32(kt_spring),
+        unload_speed=np.float32(unload_speed),
     )
 
 
 class ContactResult(NamedTuple):
-    """Damping is kept in structured form D = kt·I + (kd−kt)·nnᵀ (per active
+    """Damping is kept in structured form D = kt·I + (kd_g−kt)·nnᵀ (per active
     contact) so downstream JᵀDJ assembly is two batched GEMMs instead of a
     three-operand einsum — the difference between MXU work and scattered
     small contractions."""
 
-    f_el: jnp.ndarray        # [ng, 3] elastic (explicit) contact force, world
+    f_el: jnp.ndarray        # [ng, 3] elastic (explicit) force incl. anchor spring, world
     n: jnp.ndarray           # [ng, 3] contact normal
     kt: jnp.ndarray          # [ng] tangential damping coefficient (0 if inactive)
     kd_minus_kt: jnp.ndarray # [ng] normal-minus-tangential damping (0 if inactive)
     depth: jnp.ndarray       # [ng] penetration depth (≥ 0 when touching)
+    anchor: jnp.ndarray      # [ng, 2] updated contact anchors (world xy)
 
     def apply_D(self, v: jnp.ndarray) -> jnp.ndarray:
         """D @ v for per-geom vectors [ng, 3]."""
@@ -72,8 +97,11 @@ def sphere_terrain_contact(
     pos: jnp.ndarray,        # [ng, 3] sphere centers, world
     vel: jnp.ndarray,        # [ng, 3] sphere center velocities, world
     radius: jnp.ndarray,     # [ng]
+    anchor: jnp.ndarray | None = None,   # [ng, 2] contact anchors (world xy)
 ) -> ContactResult:
     xy = pos[..., :2]
+    if anchor is None:
+        anchor = xy          # zero tangential displacement (fresh seed)
     h, n = sample_height_and_normal(terrain, xy)
 
     # ground contact: vertical gap of the sphere's lowest point
@@ -95,12 +123,30 @@ def sphere_terrain_contact(
     vt = vel - vn[..., None] * n
     vt_norm = jnp.linalg.norm(vt, axis=-1)
 
+    # approach-gated normal damping (no liftoff adhesion)
+    kd_g = params.kd * jnp.clip(1.0 - vn / params.unload_speed, 0.0, 1.0)
+
     fn_el = params.kp * depth_a
     # explicit normal force estimate for the friction cone bound
-    fn_est = jnp.maximum(fn_el - params.kd * vn, 0.0) * active
+    fn_est = jnp.maximum(fn_el - kd_g * vn, 0.0) * active
 
     kt_eff = jnp.minimum(params.kt, params.mu * fn_est / jnp.clip(vt_norm, 1e-3))
-    f_el = fn_el[..., None] * n * active[..., None]
+
+    # anchor spring: tangential displacement since touchdown, clamped to the
+    # cone budget the implicit damper leaves free
+    d_xy = xy - anchor
+    d3 = jnp.concatenate([d_xy, jnp.zeros_like(d_xy[..., :1])], axis=-1)
+    d_t = d3 - jnp.sum(d3 * n, axis=-1, keepdims=True) * n
+    dn = jnp.linalg.norm(d_t, axis=-1)
+    budget = jnp.maximum(params.mu * fn_est - kt_eff * vt_norm, 0.0)
+    cf = jnp.minimum(1.0, budget / jnp.maximum(params.kt_spring * dn, 1e-9))
+    f_spring = -params.kt_spring * (cf * active)[..., None] * d_t
+
+    f_el = fn_el[..., None] * n * active[..., None] + f_spring
     kt_a = kt_eff * active
-    kd_m_kt = (params.kd - kt_eff) * active
-    return ContactResult(f_el=f_el, n=n, kt=kt_a, kd_minus_kt=kd_m_kt, depth=depth)
+    kd_m_kt = (kd_g - kt_eff) * active
+    # anchor update: slide along with the point where the cone clamps;
+    # track the point exactly while out of contact
+    new_anchor = jnp.where(active[..., None] > 0.0, xy - cf[..., None] * d_xy, xy)
+    return ContactResult(f_el=f_el, n=n, kt=kt_a, kd_minus_kt=kd_m_kt,
+                         depth=depth, anchor=new_anchor)

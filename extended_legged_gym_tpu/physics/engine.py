@@ -69,7 +69,13 @@ def default_sim_params(dt: float = 0.005, gravity=(-0.0, 0.0, -9.81),
 @struct.dataclass
 class PhysState:
     """Generalized state of one robot — the reference's ``root_states`` +
-    ``dof_state`` (legged_robot.py:564-584) as an immutable pytree."""
+    ``dof_state`` (legged_robot.py:564-584) as an immutable pytree.
+
+    ``contact_anchor`` is the friction anchor (world xy per collision geom)
+    of the stiction spring — see contact.py.  ``None`` means "seed from the
+    current geom positions" (zero tangential displacement); every step
+    returns it filled, so it is ``None`` only on freshly-constructed
+    states."""
 
     base_pos: jnp.ndarray       # [3]
     base_quat: jnp.ndarray      # [4] xyzw
@@ -77,6 +83,7 @@ class PhysState:
     base_lin_vel: jnp.ndarray   # [3] world
     base_ang_vel: jnp.ndarray   # [3] world
     joint_vel: jnp.ndarray      # [nj]
+    contact_anchor: jnp.ndarray | None = None   # [ng, 2] world xy
 
 
 @struct.dataclass
@@ -103,13 +110,16 @@ class StepReport(NamedTuple):
 
 
 def initial_state(model: RobotModel, pos=(0.0, 0.0, 0.6), quat=(0, 0, 0, 1)) -> PhysState:
+    p = jnp.asarray(pos, jnp.float32)
+    ng = model.geom_radius.shape[0]
     return PhysState(
-        base_pos=jnp.asarray(pos, jnp.float32),
+        base_pos=p,
         base_quat=jnp.asarray(quat, jnp.float32),
         joint_pos=model.default_dof_pos,
         base_lin_vel=jnp.zeros(3),
         base_ang_vel=jnp.zeros(3),
         joint_vel=jnp.zeros(model.nj),
+        contact_anchor=jnp.broadcast_to(p[:2], (ng, 2)),
     )
 
 
@@ -151,7 +161,8 @@ def _physics_step_f32(model, terrain, sp, state, joint_torque, env_params):
 
     # --- contacts ---
     cp = sp.contact.replace(mu=sp.contact.mu * terrain.friction * env_params.friction_scale)
-    contact = sphere_terrain_contact(terrain, cp, g_pos, g_vel, model.geom_radius)
+    contact = sphere_terrain_contact(terrain, cp, g_pos, g_vel, model.geom_radius,
+                                     anchor=state.contact_anchor)
 
     # --- dynamics assembly ---
     mass = jnp.asarray(model.mass).at[0].add(env_params.base_mass_delta)
@@ -183,7 +194,7 @@ def _physics_step_f32(model, terrain, sp, state, joint_torque, env_params):
         state.base_lin_vel, state.base_ang_vel, state.joint_vel, udot, sp.dt,
         joint_vel_limit=model.dof_vel_limits if sp.enforce_dof_vel_limits else None,
     )
-    new_state = PhysState(pos, quat, th, v, w, thd)
+    new_state = PhysState(pos, quat, th, v, w, thd, contact.anchor)
 
     # --- force reporting with post-step velocities (implicit-consistent) ---
     g_vel_new = g_vel + sp.dt * jnp.einsum("giv,v->gi", Jg, udot)

@@ -160,9 +160,11 @@ class CyberWalkEnv(CyberStandDanceEnv):
         dof_vel = jax.random.uniform(k2, (B, self.num_dof),
                                      minval=-0.1, maxval=0.1)
         twist = jax.random.uniform(k3, (B, 6), minval=-0.1, maxval=0.1)
+        ng = self.model.geom_radius.shape[0]
+        anchor = jnp.broadcast_to(pos[:, None, :2], (B, ng, 2))
         return PhysState(base_pos=pos, base_quat=quat, joint_pos=dof_pos,
                          base_lin_vel=twist[:, :3], base_ang_vel=twist[:, 3:],
-                         joint_vel=dof_vel)
+                         joint_vel=dof_vel, contact_anchor=anchor)
 
 
 class CyberHopEnv(CyberWalkEnv):
