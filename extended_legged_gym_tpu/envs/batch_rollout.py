@@ -127,6 +127,10 @@ class RolloutState:
     reward_stage: jnp.ndarray   # per-env copy of the main env's reward stage
     actuator_hidden: Optional[object]
     geom_pos: Optional[jnp.ndarray] = None   # rough-Pallas plane anchors
+    # passive stone obstacles simulated INSIDE candidate rollouts (the
+    # reference's shared sim steps obstacle actors during step_rollout,
+    # robot_batch_rollout.py:602-716, so candidates anticipate stone contact)
+    stones: Optional[object] = None
 
 
 class RobotBatchRollout(LeggedRobot):
@@ -163,6 +167,7 @@ class RobotBatchRollout(LeggedRobot):
                                           state.reset_buf.shape),
             actuator_hidden=state.actuator_hidden,
             geom_pos=state.geom_pos,
+            stones=state.stones,
         )
 
     def rollout_step(self, rs: RolloutState, actions: jnp.ndarray,
@@ -194,6 +199,11 @@ class RobotBatchRollout(LeggedRobot):
             geom_forces=report.geom_forces,
             t=rs.t + self.dt,
         )
+        if self.obstacle_cfg is not None and rs.stones is not None:
+            phys2, gf2, stones2 = self._apply_obstacles(
+                rs.phys, rs.foot_positions, rs.foot_velocities,
+                rs.geom_forces, rs.stones)
+            rs = rs.replace(phys=phys2, geom_forces=gf2, stones=stones2)
         if self.cfg.terrain.measure_heights:
             rs = rs.replace(measured_heights=self._get_heights(phys))
 
@@ -297,7 +307,8 @@ class RobotTrajGradSampling(RobotBatchRollout):
 
             _, _, self.rl_policy = load_reference_policy(
                 path, self.num_obs, self.num_actions,
-                hidden_dims=tuple(ws.actor_hidden_dims), activation=ws.activation)
+                hidden_dims=tuple(ws.actor_hidden_dims), activation=ws.activation,
+                our_joint_names=self.model.joint_names)
         else:
             import pickle
 

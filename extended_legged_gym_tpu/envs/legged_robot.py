@@ -171,11 +171,24 @@ class LeggedRobot:
                                         friction=cfg.terrain.static_friction)
         self.custom_origins = self.terrain_gen is not None
 
+        # opt-in true triangle-mesh contacts (ref add_triangle_mesh collision,
+        # legged_robot.py:686-723) for contact-critical confined/OBJ scenes —
+        # requires the terrain to carry a TriMeshData (confined/obj/trimesh
+        # terrains attach one); forces the XLA engine path below
+        if getattr(cfg.terrain, "trimesh_contacts", False):
+            if self.terrain.trimesh is None:
+                raise ValueError(
+                    "cfg.terrain.trimesh_contacts=True needs a terrain with a "
+                    f"triangle mesh (mesh_type={cfg.terrain.mesh_type!r} "
+                    "built none)")
+            self.terrain = self.terrain.replace(contact_trimesh=True)
+
         # --- sim params ---
         self.sim_params = default_sim_params(
             dt=cfg.sim.dt, gravity=tuple(cfg.sim.gravity),
             contact=default_contact_params(kp=cfg.sim.contact_kp, kd=cfg.sim.contact_kd,
-                                           kt=cfg.sim.contact_kt),
+                                           kt=cfg.sim.contact_kt,
+                                           kt_spring=cfg.sim.contact_kt_spring),
             joint_damping=cfg.sim.joint_damping,
             solver=cfg.sim.solver,
             enforce_dof_vel_limits=cfg.sim.enforce_dof_vel_limits,
@@ -283,9 +296,11 @@ class LeggedRobot:
         # when explicitly requested ("pallas_interpret", used by tests)
         if (want_pallas and not cfg.control.use_actuator_network
                 and not self.terrain.has_ceiling
+                and not self.terrain.contact_trimesh
                 and (on_tpu or cfg.sim.solver == "pallas_interpret")):
-            # (two-layer confined terrains stay on the XLA path — the fused
-            # kernel has no ceiling-contact branch)
+            # (two-layer confined terrains and trimesh-contact scenes stay on
+            # the XLA path — the fused kernel has no ceiling branch and its
+            # local-tangent-plane scheme assumes mostly-vertical normals)
             if cfg.control.control_type in ("P", "T"):
                 # whole decimation loop fused: torques on packed joint rows,
                 # one plane sample per control step (rough), pack/unpack once
@@ -593,24 +608,35 @@ class LeggedRobot:
         terrain contacts — and the net force kicks the base as a velocity
         impulse (like domain_rand pushes; stone-vs-intermediate-link torque
         transfer is not modeled).  Stones feel the full reaction impulse."""
+        phys, gf, stones = self._apply_obstacles(
+            state.phys, state.foot_positions, state.foot_velocities,
+            state.geom_forces, state.stones)
+        return state.replace(stones=stones, geom_forces=gf, phys=phys)
+
+    def _apply_obstacles(self, phys: PhysState, foot_positions,
+                         foot_velocities, geom_forces, stones):
+        """State-agnostic robot↔stone coupling (shared by the main `step` and
+        the MPC `rollout_step` — the reference's shared sim steps obstacle
+        actors during step_rollout too, robot_batch_rollout.py:602-716, so
+        candidate trajectories must anticipate stone contact)."""
         from ..terrain.dynamic_obstacles import step_stones, stone_robot_forces
 
         oc = self.obstacle_cfg
         sphere_pos = jnp.concatenate(
-            [state.phys.base_pos[:, None], state.foot_positions], axis=1)
+            [phys.base_pos[:, None], foot_positions], axis=1)
         sphere_vel = jnp.concatenate(
-            [state.phys.base_lin_vel[:, None], state.foot_velocities], axis=1)
+            [phys.base_lin_vel[:, None], foot_velocities], axis=1)
         f_robot, stones = stone_robot_forces(
-            state.stones, sphere_pos, jnp.asarray(self._obstacle_sphere_radius),
+            stones, sphere_pos, jnp.asarray(self._obstacle_sphere_radius),
             self.dt, oc, sphere_vel=sphere_vel)
         stones = step_stones(stones, self.terrain, self.cfg.sim.dt, oc,
                              n_substeps=self.cfg.control.decimation)
-        gf = state.geom_forces
+        gf = geom_forces
         gf = gf.at[:, self._base_geom].add(f_robot[:, 0])
         gf = gf.at[:, np.asarray(self.feet_geoms)].add(f_robot[:, 1:])
         dv = f_robot.sum(axis=1) * (self.dt / self._total_mass)
-        phys = state.phys.replace(base_lin_vel=state.phys.base_lin_vel + dv)
-        return state.replace(stones=stones, geom_forces=gf, phys=phys)
+        phys = phys.replace(base_lin_vel=phys.base_lin_vel + dv)
+        return phys, gf, stones
 
     def _physics_substeps(self, phys: PhysState, actions: jnp.ndarray,
                           env_params: EnvPhysParams, last_dof_vel: jnp.ndarray,

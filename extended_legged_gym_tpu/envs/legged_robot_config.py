@@ -50,6 +50,11 @@ class TerrainCfg:
     # confined: [tunnel, barrier, timber_piles, confined_gap]
     confined_terrain_proportions: List[float] = [0.25, 0.5, 0.75, 1.0]
     slope_treshold: float = 0.75
+    # route physics contacts through the true triangle mesh (sphere-vs-
+    # trimesh SDF; ref PhysX add_triangle_mesh collision,
+    # legged_robot.py:686-723) — for contact-critical confined/OBJ scenes;
+    # needs a terrain that carries a TriMeshData, forces the XLA engine path
+    trimesh_contacts: bool = False
     # random-origin generation (confined maps; ref robot_batch_rollout.py:1105)
     random_origins: bool = False
     origins_x_range: List[float] = [0.0, 0.0]
@@ -199,6 +204,7 @@ class SimCfg:
     contact_kp: float = 3.0e4
     contact_kd: float = 1.5e3
     contact_kt: float = 1.0e4
+    contact_kt_spring: float = 3.0e4   # anchor stiction spring (contact.py)
     joint_damping: float = 0.0
     solver: str = "pallas"  # 'pallas' (fused kernel on flat terrain, ABA fallback) | 'aba' | 'crba'
     # hard-enforce URDF per-joint velocity limits, as PhysX does via

@@ -53,6 +53,9 @@ class PoseAdaptEnvCfg:
 class PoseAdaptSimCfg:
     dt: float = 0.005
     gravity: list = [0.0, 0.0, 0.0]   # ref sim.gravity = 0 (:17)
+    # true sphere-vs-trimesh contacts against the confined mesh (walls push
+    # along real mesh normals; PhysX add_triangle_mesh semantics)
+    trimesh_contacts: bool = False
 
 
 @configclass

@@ -112,7 +112,6 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
     ktmax = float(sp.contact.kt)
     mu0 = float(sp.contact.mu)
     kts = float(getattr(sp.contact, "kt_spring", 3.0e4))
-    vud = float(getattr(sp.contact, "unload_speed", 0.05))
     jdamp = float(sp.joint_damping)
     h0 = float(terrain_height)
 
@@ -221,11 +220,10 @@ def build_physics_kernel(model, sp, terrain_height: float = 0.0,
             active = (depth > 0.0).astype(gp[2].dtype)
             depth_a = jnp.maximum(depth, 0.0)
             fn_el = kp * depth_a
-            # approach-gated normal damping: full kd while approaching,
-            # fading to zero once receding faster than vud — an ungated
-            # damper acts as liftoff adhesion PhysX never produces
-            # (contact.py for the full rationale)
-            kd_g = kd * jnp.clip(1.0 - vn / vud, 0.0, 1.0)
+            # no-adhesion damping cap: while receding, kd may consume at
+            # most the spring force — full damping when approaching or
+            # loaded (contact.py for the full rationale)
+            kd_g = jnp.minimum(kd, fn_el / jnp.maximum(vn, 1e-6))
             fn_est = jnp.maximum(fn_el - kd_g * vn, 0.0) * active
             mu = mu0 * fric
             kt_eff = jnp.minimum(ktmax, mu * fn_est / jnp.maximum(vt_norm, 1e-3))

@@ -212,10 +212,17 @@ def trimesh_from_heightfield(ground: np.ndarray, hscale: float,
         b = idx[:-1, 1:].ravel()
         c = idx[1:, :-1].ravel()
         d = idx[1:, 1:].ravel()
+        # winding sets the face normals, and the SDF sign convention
+        # ("positive in free space", perception/sdf.py) depends on them:
+        # ground normals must point UP (+z, into the air above), ceiling
+        # normals DOWN (−z, into the tunnel below).  [r4 fix: both layers
+        # were wound inverted, flipping the near-surface SDF sign on every
+        # heightfield-derived mesh — exposed when physics contacts started
+        # consuming this SDF]
         if flip:  # ceiling: wind downward-facing
-            F = np.concatenate([np.stack([a, c, b], -1), np.stack([b, c, d], -1)])
-        else:
             F = np.concatenate([np.stack([a, b, c], -1), np.stack([b, d, c], -1)])
+        else:     # ground: wind upward-facing
+            F = np.concatenate([np.stack([a, c, b], -1), np.stack([b, c, d], -1)])
         all_v.append(V)
         all_f.append(F + voff)
         voff += V.shape[0]
@@ -410,9 +417,15 @@ def query_sdf_trimesh(mesh: TriMeshData, points: jnp.ndarray):
     grad = jnp.where(dmin[:, None] > 1e-6,
                      sgn[:, None] * u_b / jnp.maximum(dmin[:, None], 1e-9),
                      n_b)
-    # beyond the bucketing radius the lists may be empty (sentinel only):
-    # clamp to the radius as an unsigned positive bound
-    far = dmin > mesh.sdf_radius
-    sdf = jnp.where(far, mesh.sdf_radius, sdf)
+    # beyond the bucketing radius the result is approximate (closer
+    # triangles may live in unvisited cells): clamp the MAGNITUDE to the
+    # radius but keep the sign — a point deep inside the mesh must stay
+    # negative or physics contacts tunnel through floors (r4).  Cells with
+    # no real triangle at all (sentinel-only lists, dmin ~1e6) clamp to the
+    # positive bound: the sentinel's pseudo-sign is meaningless and a
+    # negative value there would fake solid everywhere off-mesh.
+    found = dmin < 1e5
+    sdf = jnp.where(found, jnp.clip(sdf, -mesh.sdf_radius, mesh.sdf_radius),
+                    mesh.sdf_radius)
     return (sdf.reshape(shape), grad.reshape(shape + (3,)),
             cp_b.reshape(shape + (3,)))

@@ -7,14 +7,16 @@ legged_gym/legged_gym/envs/base/legged_robot_config.py:256-267).  Design:
   *all* geoms every step — no broadphase, no dynamic shapes.  This removes
   the PhysX broadphase pathology the reference works around with
   ``rollout_envs_sync_pos_drift`` (robot_batch_rollout.py:1493-1497).
-* Normal force: Kelvin–Voigt spring-damper ``fn = kp·φ − kd_g·vn`` where the
-  damper is GATED by the approach velocity: full ``kd`` while approaching
-  (vn ≤ 0), ramping to zero once the point recedes faster than
-  ``unload_speed``.  An ungated damper acts as *adhesion* during liftoff
-  (−kd·vn can exceed kp·φ while still penetrated, yanking a departing foot
-  back down by hundreds of newtons every swing initiation) — PhysX's
-  unilateral solver never pulls.  The gate keeps full impact/stance damping
-  (vn ≤ 0) and caps residual adhesion at kd·unload_speed/4.
+* Normal force: Kelvin–Voigt spring-damper ``fn = kp·φ − kd_g·vn`` with the
+  damper coefficient capped so the TOTAL normal force never goes negative:
+  ``kd_g = min(kd, kp·φ / vn)`` while receding (vn > 0), full ``kd``
+  otherwise.  An uncapped damper acts as *adhesion* during liftoff (−kd·vn
+  exceeding kp·φ while still penetrated yanks a departing foot back down by
+  hundreds of newtons every swing initiation) — PhysX's unilateral solver
+  never pulls.  Unlike a plain velocity gate, the cap keeps FULL damping
+  through loaded-stance micro-oscillations (kp·φ/vn ≫ kd there), so stance
+  stays chatter-free; it only fades where damping would turn the contact
+  into a tension spring.
 * Friction = implicit viscous damper + explicit ANCHOR SPRING (true
   stiction).  The damper uses an adaptive coefficient
   ``kt_eff = min(kt, μ·fn/|vt|)`` so it alone respects the friction cone.
@@ -49,15 +51,14 @@ from ..terrain.heightfield import (TerrainData, sample_ceiling,
 @struct.dataclass
 class ContactParams:
     kp: jnp.ndarray          # normal stiffness [N/m]
-    kd: jnp.ndarray          # normal damping [N·s/m] (approach-gated)
+    kd: jnp.ndarray          # normal damping [N·s/m] (no-adhesion capped)
     kt: jnp.ndarray          # max tangential (stiction) damping [N·s/m]
     mu: jnp.ndarray          # friction coefficient (terrain × env randomization)
     kt_spring: jnp.ndarray   # tangential anchor-spring stiffness [N/m]
-    unload_speed: jnp.ndarray  # vn ramp width for the normal-damper gate [m/s]
 
 
 def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0,
-                           kt_spring=3.0e4, unload_speed=0.05) -> ContactParams:
+                           kt_spring=3.0e4) -> ContactParams:
     """Host-side (numpy) constants — see default_sim_params for why eager
     device residency of scalar params is a latency trap on axon."""
     import numpy as np
@@ -68,7 +69,6 @@ def default_contact_params(kp=3.0e4, kd=1.5e3, kt=1.0e4, mu=1.0,
         kt=np.float32(kt),
         mu=np.float32(mu),
         kt_spring=np.float32(kt_spring),
-        unload_speed=np.float32(unload_speed),
     )
 
 
@@ -102,17 +102,28 @@ def sphere_terrain_contact(
     xy = pos[..., :2]
     if anchor is None:
         anchor = xy          # zero tangential displacement (fresh seed)
-    h, n = sample_height_and_normal(terrain, xy)
+    if terrain.contact_trimesh and terrain.trimesh is not None:
+        # true sphere-vs-trimesh: depth/normal from the SDF nearest-point
+        # query (walls, ceilings, thin features all get their REAL normals —
+        # the reference's add_triangle_mesh collision semantics).  Beyond
+        # sdf_radius the query clamps positive, so depth < 0 ⇒ inactive,
+        # exactly the far-field we want.
+        from ..perception.trimesh import query_sdf_trimesh
 
-    # ground contact: vertical gap of the sphere's lowest point
-    depth = (h + radius) - pos[..., 2]
-    if terrain.has_ceiling:
-        # ceiling contact (confined terrains): gap of the sphere's highest point
-        c = sample_ceiling(terrain, xy)
-        depth_c = pos[..., 2] + radius - c
-        use_ceiling = depth_c > depth
-        depth = jnp.maximum(depth, depth_c)
-        n = jnp.where(use_ceiling[..., None], jnp.array([0.0, 0.0, -1.0]), n)
+        sdf, n, _ = query_sdf_trimesh(terrain.trimesh, pos)
+        depth = radius - sdf
+    else:
+        h, n = sample_height_and_normal(terrain, xy)
+
+        # ground contact: vertical gap of the sphere's lowest point
+        depth = (h + radius) - pos[..., 2]
+        if terrain.has_ceiling:
+            # ceiling contact (confined): gap of the sphere's highest point
+            c = sample_ceiling(terrain, xy)
+            depth_c = pos[..., 2] + radius - c
+            use_ceiling = depth_c > depth
+            depth = jnp.maximum(depth, depth_c)
+            n = jnp.where(use_ceiling[..., None], jnp.array([0.0, 0.0, -1.0]), n)
 
     active = (depth > 0.0).astype(pos.dtype)
     # saturate penetration at 2r+5cm: bounds the impulse from teleporting
@@ -123,10 +134,10 @@ def sphere_terrain_contact(
     vt = vel - vn[..., None] * n
     vt_norm = jnp.linalg.norm(vt, axis=-1)
 
-    # approach-gated normal damping (no liftoff adhesion)
-    kd_g = params.kd * jnp.clip(1.0 - vn / params.unload_speed, 0.0, 1.0)
-
     fn_el = params.kp * depth_a
+    # no-adhesion damping cap: while receding, kd may consume at most the
+    # spring force (full damping when approaching or loaded — see module doc)
+    kd_g = jnp.minimum(params.kd, fn_el / jnp.maximum(vn, 1e-6))
     # explicit normal force estimate for the friction cone bound
     fn_est = jnp.maximum(fn_el - kd_g * vn, 0.0) * active
 

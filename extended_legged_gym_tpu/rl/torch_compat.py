@@ -52,11 +52,71 @@ def torch_actor_critic_to_flax(sd: Dict[str, np.ndarray],
     return out
 
 
+def dof_permutation(our_joint_names: Sequence[str],
+                    ref_joint_names: Sequence[str] | None = None):
+    """(perm, inv) mapping between OUR engine's DOF order and the Isaac Gym
+    DOF order a reference checkpoint was trained with.
+
+    ``perm[i]`` = our index of the joint at reference position i, so
+    ``x_ref = x_ours[perm]`` and ``a_ours = a_ref[inv]``.
+
+    ``ref_joint_names`` defaults to ``sorted(our_joint_names)``: Isaac Gym's
+    asset DOF order for the reference URDFs is alphabetical by joint name —
+    verified empirically by a permutation sweep replaying plane_walk_200.pt
+    through this engine (alphabetical: 94% tracking, zero falls; our URDF
+    traversal order: 77% with falls — the policy was driving a leg-permuted
+    robot, the dominant r1-r3 parity gap)."""
+    import numpy as np
+
+    ours = list(our_joint_names)
+    ref = sorted(ours) if ref_joint_names is None else list(ref_joint_names)
+    if sorted(ours) != sorted(ref):
+        raise ValueError(f"joint name mismatch: {ours} vs {ref}")
+    perm = np.asarray([ours.index(n) for n in ref])
+    return perm, np.argsort(perm)
+
+
+def permuted_policy(policy, our_joint_names: Sequence[str],
+                    ref_joint_names: Sequence[str] | None = None,
+                    dof_obs_start: int = 12):
+    """Wrap a reference-checkpoint policy so it sees observations and emits
+    actions in ITS training-time DOF order while the env speaks ours.
+
+    Assumes the canonical LeggedRobot obs layout (legged_robot.py:234-252):
+    [lin vel 3, ang vel 3, gravity 3, commands 3, dof_pos nj, dof_vel nj,
+    actions nj, <rest>] — only the three nj-segments are permuted."""
+    perm, inv = dof_permutation(our_joint_names, ref_joint_names)
+    if (perm == inv).all() and (perm == range(len(perm))).all():
+        return policy
+    nj = len(perm)
+    s0 = dof_obs_start
+    P = jnp.asarray(perm)
+    I = jnp.asarray(inv)
+
+    def wrapped(obs):
+        head = obs[:, :s0]
+        dof_p = obs[:, s0:s0 + nj][:, P]
+        dof_v = obs[:, s0 + nj:s0 + 2 * nj][:, P]
+        act = obs[:, s0 + 2 * nj:s0 + 3 * nj][:, P]
+        rest = obs[:, s0 + 3 * nj:]
+        a_ref = policy(jnp.concatenate([head, dof_p, dof_v, act, rest], -1))
+        return a_ref[:, I]
+
+    return wrapped
+
+
 def load_reference_policy(path: str, num_obs: int, num_actions: int,
                           hidden_dims: Sequence[int] = (128, 64, 32),
-                          activation: str = "elu"):
+                          activation: str = "elu",
+                          our_joint_names: Sequence[str] | None = None,
+                          ref_joint_names: Sequence[str] | None = None):
     """Convenience: build the flax ActorCritic matching an rsl_rl checkpoint
-    and return (network, params, inference_fn)."""
+    and return (network, params, inference_fn).
+
+    Pass ``our_joint_names`` (env.model.joint_names) to bridge the DOF-order
+    gap between this engine and the Isaac Gym sim the checkpoint was trained
+    in — see ``dof_permutation``.  Without it the raw policy is returned and
+    the caller inherits the reference's alphabetical DOF convention."""
     import jax
 
     from ..models.networks import ActorCritic
@@ -71,4 +131,6 @@ def load_reference_policy(path: str, num_obs: int, num_actions: int,
     def policy(obs):
         return net.apply(params, obs, method=net.act_inference)
 
+    if our_joint_names is not None:
+        policy = permuted_policy(policy, our_joint_names, ref_joint_names)
     return net, params, policy

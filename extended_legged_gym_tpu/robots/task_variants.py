@@ -392,11 +392,18 @@ def _confined_terrain(num_envs: int, seed: int = 0):
 
 
 class _RegisteredPoseAdapt(BasePoseAdapt):
-    """Registry-compatible ctor: builds the confined terrain internally."""
+    """Registry-compatible ctor: builds the confined terrain internally.
+
+    ``cfg.sim.trimesh_contacts`` routes the body's collision spheres through
+    TRUE sphere-vs-trimesh contacts (walls/ceilings push along real mesh
+    normals — PhysX add_triangle_mesh semantics, legged_robot.py:686-723)
+    instead of the rasterized two-layer heightfield."""
 
     def __init__(self, cfg: BasePoseAdaptCfg, terrain=None, **kw):
         if terrain is None:
             terrain = _confined_terrain(cfg.env.num_envs, getattr(cfg, "seed", 0))
+        if getattr(cfg.sim, "trimesh_contacts", False) and terrain.trimesh is not None:
+            terrain = terrain.replace(contact_trimesh=True)
         super().__init__(cfg, terrain, **kw)
 
 

@@ -98,8 +98,9 @@ def main():
     if args.ref:
         from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-        _, _, ref_policy = load_reference_policy(args.ref, env.num_obs,
-                                                 env.num_actions)
+        _, _, ref_policy = load_reference_policy(
+            args.ref, env.num_obs, env.num_actions,
+            our_joint_names=env.model.joint_names)
         run(env, ref_policy, "reference", args.cmd, args.steps)
 
 

@@ -37,7 +37,6 @@ def main():
     from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
     from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-    _, _, policy = load_reference_policy(args.ckpt, 48, 12)
     cfg = anymal_c_flat_cfg()
     cfg.env.num_envs = args.envs
     # eval conditions (reference play.py:46-52: no noise/push/randomization)
@@ -56,6 +55,9 @@ def main():
             os.path.dirname(__file__), "..", "robots", "data",
             "anydrive_v3_lstm.json")
     env = LeggedRobot(cfg)
+    # bridge the checkpoint's Isaac Gym DOF order (torch_compat.dof_permutation)
+    _, _, policy = load_reference_policy(args.ckpt, 48, 12,
+                                         our_joint_names=env.model.joint_names)
     s = env.reset_all(jax.random.PRNGKey(0))
     cmd = jnp.zeros_like(s.commands).at[:, 0].set(args.cmd)
     s = s.replace(commands=cmd)

@@ -48,8 +48,17 @@ class TerrainData:
     # optional true triangle mesh (perception/trimesh.TriMeshData): when set,
     # perception raycast/SDF queries run against real geometry (lateral walls,
     # thin features) instead of the 2-layer heightfield approximation.
-    # Physics contacts stay on the heightfield fast path either way.
     trimesh: object | None = None
+    # static: route PHYSICS contacts through the triangle mesh too
+    # (sphere-vs-trimesh via the SDF nearest-point query) instead of the
+    # heightfield fast path.  Matches the reference's PhysX
+    # ``add_triangle_mesh`` collision (legged_robot.py:686-723): a robot
+    # pushed against a vertical barrier receives the push along the TRUE
+    # mesh normal, where the rasterized heightfield only offers steep-slope
+    # normals at grid resolution.  Costs the SDF gather per geom per substep
+    # and forces the XLA engine path (the fused Pallas kernel's local
+    # tangent-plane scheme assumes mostly-vertical normals).
+    contact_trimesh: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):

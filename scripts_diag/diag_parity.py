@@ -25,13 +25,16 @@ def main():
     ap.add_argument("--cmd", type=float, default=0.5)
     ap.add_argument("--envs", type=int, default=8)
     ap.add_argument("--no-actuator-net", action="store_true")
+    ap.add_argument("--kp", type=float, default=None)
+    ap.add_argument("--kd", type=float, default=None)
+    ap.add_argument("--kt", type=float, default=None)
+    ap.add_argument("--kt-spring", type=float, default=None)
     args = ap.parse_args()
 
     from extended_legged_gym_tpu.envs.legged_robot import LeggedRobot
     from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
     from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-    _, _, policy = load_reference_policy(args.ckpt, 48, 12)
     cfg = anymal_c_flat_cfg()
     cfg.env.num_envs = args.envs
     cfg.noise.add_noise = False
@@ -44,7 +47,17 @@ def main():
         cfg.control.actuator_net_file = os.path.join(
             os.path.dirname(__file__), "..", "extended_legged_gym_tpu",
             "robots", "data", "anydrive_v3_lstm.json")
+    for name in ("kp", "kd", "kt"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(cfg.sim, f"contact_{name}", v)
+    if args.kt_spring is not None:
+        cfg.sim.contact_kt_spring = args.kt_spring
+    print("contact params:", cfg.sim.contact_kp, cfg.sim.contact_kd,
+          cfg.sim.contact_kt, cfg.sim.contact_kt_spring)
     env = LeggedRobot(cfg)
+    _, _, policy = load_reference_policy(args.ckpt, 48, 12,
+                                         our_joint_names=env.model.joint_names)
     s = env.reset_all(jax.random.PRNGKey(0))
     cmd = jnp.zeros_like(s.commands).at[:, 0].set(args.cmd)
     s = s.replace(commands=cmd)

@@ -70,27 +70,37 @@ def test_slides_above_cone():
 
 
 def test_no_liftoff_adhesion():
-    """A penetrated point receding faster than unload_speed must feel a
-    non-negative total normal force — the r3 ungated damper produced
-    −kd·vn ≈ −300 N of adhesion on departing feet (fall root cause, r4)."""
+    """A penetrated receding point must feel a non-negative total normal
+    force: the damper coefficient is capped at kp·φ/vn so damping never
+    turns the contact into a tension spring — the r3 uncapped damper
+    produced −kd·vn ≈ −300 N of adhesion on departing feet."""
     terrain = flat_terrain(size=4.0)
     cp = default_contact_params()
     pos = jnp.array([[0.0, 0.0, 0.02]])      # r=0.03 ⇒ 1 cm penetrated
     radius = jnp.array([0.03])
     anchor = pos[:, :2]
+    fn_spring = float(cp.kp) * 0.01
 
-    vel_up = jnp.array([[0.0, 0.0, 0.2]])    # receding at 4× unload_speed
-    c = sphere_terrain_contact(terrain, cp, pos, vel_up, radius, anchor)
-    f = c.f_el - c.apply_D(vel_up)
-    assert float(f[0, 2]) >= 0.0, f"liftoff adhesion: fz = {float(f[0, 2]):.1f} N"
-    # spring-only force remains (still penetrated)
-    assert float(f[0, 2]) == pytest.approx(float(cp.kp) * 0.01, rel=1e-3)
+    for vz in (0.1, 0.2, 0.5, 2.0):          # receding at various speeds
+        vel_up = jnp.array([[0.0, 0.0, vz]])
+        c = sphere_terrain_contact(terrain, cp, pos, vel_up, radius, anchor)
+        f = float((c.f_el - c.apply_D(vel_up))[0, 2])
+        assert f >= -1e-3, f"liftoff adhesion at vn={vz}: fz = {f:.1f} N"
+        assert f <= fn_spring + 1e-3
+        expected = max(fn_spring - min(float(cp.kd), fn_spring / vz) * vz, 0.0)
+        assert f == pytest.approx(expected, abs=1e-2)
+
+    # slow unloading keeps full damping (fn_el/vn >> kd): chatter-free stance
+    vel_slow = jnp.array([[0.0, 0.0, 0.05]])
+    c1 = sphere_terrain_contact(terrain, cp, pos, vel_slow, radius, anchor)
+    f1 = float((c1.f_el - c1.apply_D(vel_slow))[0, 2])
+    assert f1 == pytest.approx(fn_spring - float(cp.kd) * 0.05, rel=1e-3)
 
     # approaching: full Kelvin-Voigt damping (impact absorption intact)
     vel_dn = jnp.array([[0.0, 0.0, -0.2]])
     c2 = sphere_terrain_contact(terrain, cp, pos, vel_dn, radius, anchor)
     f2 = c2.f_el - c2.apply_D(vel_dn)
-    expected = float(cp.kp) * 0.01 + float(cp.kd) * 0.2
+    expected = fn_spring + float(cp.kd) * 0.2
     assert float(f2[0, 2]) == pytest.approx(expected, rel=1e-3)
 
 

@@ -44,7 +44,6 @@ def test_reference_policy_behavior_parity():
     from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
     from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-    _, _, policy = load_reference_policy(REF_CKPT, 48, 12)
     cfg = anymal_c_flat_cfg()
     cfg.env.num_envs = 4
     cfg.noise.add_noise = False
@@ -52,6 +51,8 @@ def test_reference_policy_behavior_parity():
     cfg.domain_rand.randomize_friction = False
     cfg.domain_rand.randomize_base_mass = False
     env = LeggedRobot(cfg)
+    _, _, policy = load_reference_policy(REF_CKPT, 48, 12,
+                                         our_joint_names=env.model.joint_names)
     s = env.reset_all(jax.random.PRNGKey(0))
     cmd = jnp.zeros_like(s.commands).at[:, 0].set(0.5)
     step = jax.jit(env.step)
@@ -75,11 +76,12 @@ def test_distillation_runner_clones_reference_teacher():
     from extended_legged_gym_tpu.rl.distillation_runner import DistillationRunner
     from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-    _, _, teacher = load_reference_policy(REF_CKPT, 48, 12)
     cfg = anymal_c_flat_cfg()
     cfg.env.num_envs = 8
     cfg.noise.add_noise = False
     env = LeggedRobot(cfg)
+    _, _, teacher = load_reference_policy(REF_CKPT, 48, 12,
+                                         our_joint_names=env.model.joint_names)
     runner = DistillationRunner(env, teacher, student_hidden_dims=(64, 32),
                                 num_steps_per_env=8, num_learning_epochs=2)
     m0 = runner.learn(2, log_interval=100)
@@ -103,11 +105,12 @@ def test_recurrent_distillation_runner():
     from extended_legged_gym_tpu.rl.distillation_runner import DistillationRunner
     from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-    _, _, teacher = load_reference_policy(REF_CKPT, 48, 12)
     cfg = anymal_c_flat_cfg()
     cfg.env.num_envs = 4
     cfg.noise.add_noise = False
     env = LeggedRobot(cfg)
+    _, _, teacher = load_reference_policy(REF_CKPT, 48, 12,
+                                         our_joint_names=env.model.joint_names)
     runner = DistillationRunner(env, teacher, student_hidden_dims=(32,),
                                 num_steps_per_env=8, num_learning_epochs=2,
                                 gradient_length=4, recurrent=True,
@@ -121,3 +124,36 @@ def test_recurrent_distillation_runner():
     carry = runner.alg.initialize_carry(jax.random.PRNGKey(0), (3,))
     a, carry = pol(jnp.zeros((3, 48)), carry)
     assert a.shape == (3, 12)
+
+
+def test_dof_permutation_roundtrip():
+    """torch_compat.dof_permutation bridges OUR URDF-traversal DOF order and
+    Isaac Gym's alphabetical checkpoint order (the r1-r3 parity-gap root
+    cause: replaying plane_walk_200.pt un-permuted drove a leg-permuted
+    robot — alphabetical tracks 94% vs 77% with falls; see torch_compat)."""
+    import jax.numpy as jnp
+    from extended_legged_gym_tpu.rl.torch_compat import (dof_permutation,
+                                                         permuted_policy)
+
+    ours = ["RH_A", "RH_B", "LH_A", "LH_B", "LF_A", "LF_B"]
+    perm, inv = dof_permutation(ours)
+    ref = sorted(ours)
+    assert [ours[i] for i in perm] == ref
+    x = jnp.arange(6.0)
+    assert (x[jnp.asarray(perm)][jnp.asarray(inv)] == x).all()
+
+    # wrapped policy sees ref-ordered dof obs and our-order actions roundtrip
+    nj = 6
+    seen = {}
+    def ref_policy(obs):
+        seen["obs"] = obs
+        return obs[:, 12:12 + nj]          # echo dof_pos segment (ref order)
+    pol = permuted_policy(ref_policy, ours, dof_obs_start=12)
+    obs = jnp.concatenate([jnp.zeros((1, 12)),
+                           jnp.arange(3 * nj, dtype=jnp.float32)[None]], -1)
+    a = pol(obs)
+    # policy saw dof_pos permuted into ref order
+    expect_ref = jnp.asarray([obs[0, 12 + p] for p in perm])
+    assert (seen["obs"][0, 12:12 + nj] == expect_ref).all()
+    # echoed action came back in OUR order
+    assert (a[0] == obs[0, 12:12 + nj]).all()
