@@ -100,13 +100,13 @@ def elspider_air_flat_cfg() -> LeggedRobotCfg:
     sc.torques = [-2.5e-6, -0.00001]
     sc.dof_acc = [-1.25e-8, -5e-8]
     sc.base_height = [-2.0, -8.0]
-    # feet_slip calibrated for this engine: regularized Coulomb stiction has
-    # an inherent ~0.1 m/s stance-slip floor (contact.py kt_eff), so the
-    # reference's -0.4 charges every policy ~0.8/episode unavoidably —
-    # measured to re-starve training the moment stage 1 engaged (trk 0.66 →
-    # collapse, NOTES_R3).  -0.05 keeps the shaping signal without making
-    # the stage structurally reward-negative.
-    sc.feet_slip = [-0.0, -0.05]
+    # reference scale restored in r4: the anchor-spring stiction model
+    # (contact.py) removed the viscous slip floor that made -0.4 charge
+    # every policy ~0.8/episode unavoidably in r3 (median stance slip is
+    # now ~5 mm/s in the calibrated engine, PARITY_r04), so the reference's
+    # elspider_air_flat_config feet_slip = [-0.0, -0.4] prices only REAL
+    # slip again (ref flat config scales block)
+    sc.feet_slip = [-0.0, -0.4]
     sc.feet_air_time = 0.8
     sc.collision = [-0.25, -1.0]
     sc.action_rate = [-0.00025, -0.001]

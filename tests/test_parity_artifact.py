@@ -1,18 +1,22 @@
-"""Pins PARITY_r03.json — the behavior-parity proxy (BASELINE config 1).
+"""Pins PARITY_r04.json — the behavior-parity proxy (BASELINE config 1).
 
 The artifact replays the reference's PhysX-trained walking checkpoint
 (plane_walk_200.pt, doc/anymal_tasks.md:87-92) through THIS engine with the
-ANYdrive actuator net, exactly as scripts/eval_parity.py produces it.  The
-fast test checks the committed artifact against its own tolerances; the slow
-test re-measures a shortened replay so an engine regression (contact model,
-actuator net, obs layout) fails CI even if the artifact file is stale."""
+ANYdrive actuator net and the Isaac-Gym DOF-order bridge
+(rl/torch_compat.dof_permutation), exactly as scripts/eval_parity.py
+produces it.  The r4 calibration target (VERDICT r3 next #1: ≤2 falls /
+8 envs / 10 s and tracking ≥0.9) is met at zero falls / 0.945 tracking;
+the tolerances track that level.  The fast test checks the committed
+artifact against its own tolerances; the slow test re-measures a shortened
+replay so an engine regression (contact model, actuator net, obs layout,
+DOF mapping) fails CI even if the artifact file is stale."""
 import json
 import os
 
 import pytest
 
 REF_CKPT = "/root/reference/legged_gym/ckpt/anymal_c/plane_walk_200.pt"
-ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "PARITY_r03.json")
+ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "PARITY_r04.json")
 
 
 def _check(d):
@@ -24,6 +28,8 @@ def _check(d):
     assert lo <= d["duty_factor_mean"] <= hi
     assert d["upright_mean"] <= tol["upright_max"]
     assert d["resets"] <= tol["resets_max"]
+    if "duty_spread" in d:
+        assert d["duty_spread"] <= tol["duty_spread_max"]
 
 
 @pytest.mark.skipif(not os.path.exists(ARTIFACT), reason="no artifact")
@@ -51,10 +57,11 @@ def test_parity_remeasured():
         sys.argv = argv
     d = json.loads(buf.getvalue().strip().splitlines()[-1])
     # shortened replay is noisier (4 envs × 5 s; one unlucky env moves the
-    # mean a lot) — scale the bounds to the sample size: the point is to
-    # catch an ENGINE regression (policy stops walking/falls constantly),
-    # not to re-pin the full artifact's numbers
-    d["tolerances"]["resets_max"] = 60.0 * (250 * 4) / (500 * 8)
-    d["tolerances"]["achieved_over_command_min"] = 0.55
-    d["tolerances"]["upright_max"] = -0.90
+    # mean a lot) — relax the bounds for sample size: the point is to catch
+    # an ENGINE regression (policy stops walking / falls / limps), not to
+    # re-pin the full artifact's numbers
+    d["tolerances"]["resets_max"] = 2.0
+    d["tolerances"]["achieved_over_command_min"] = 0.80
+    d["tolerances"]["upright_max"] = -0.95
+    d["tolerances"]["duty_spread_max"] = 0.45
     _check(d)
