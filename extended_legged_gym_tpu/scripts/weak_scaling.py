@@ -115,11 +115,26 @@ def anymal_c_traj_sampling_cfg_lazy(n_envs, S, horizon):
 
 
 def main():
+    import argparse
+
     import jax
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "SCALING.md"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="SCALING.md")
+    ap.add_argument("--append-singlechip", action="store_true",
+                    help="append only section 2 (run this on the real chip "
+                         "after generating section 1 on the 8-device virtual "
+                         "CPU mesh)")
+    args = ap.parse_args()
+    out = args.out
     plat = jax.devices()[0].platform
     on_tpu = plat == "tpu"
+    if args.append_singlechip:
+        strong = measure_strong_singlechip()
+        with open(out, "a") as f:
+            _write_singlechip(f, strong, plat)
+        print(json.dumps(dict(singlechip=strong)))
+        return
     rows = measure()
     strong = measure_strong_singlechip() if on_tpu else []
     with open(out, "w") as f:
@@ -142,20 +157,24 @@ def main():
             f.write(f"| {r['devices']} | {r['rollouts']} "
                     f"| {r['rollouts'] // r['devices']} | yes |\n")
         if strong:
-            f.write("\n## 2. Single-chip saturation (real TPU)\n\n")
-            f.write(
-                "Throughput vs rollout batch on the one real chip available "
-                "— the measurable scaling dimension here.  The knee of this "
-                "curve is the minimum per-chip batch a multi-chip sharding "
-                "must sustain for near-linear weak scaling (below it, chips "
-                "idle; above it, time grows linearly and sharded efficiency "
-                "is bounded by collectives, not compute).\n\n")
-            f.write("| rollouts | t_batch [s] | rollouts/s |\n")
-            f.write("|---|---|---|\n")
-            for r in strong:
-                f.write(f"| {r['rollouts']} | {r['t_rollout_s']} "
-                        f"| {r['rollouts_per_s']:,} |\n")
+            _write_singlechip(f, strong, plat)
     print(json.dumps(dict(virtual=rows, singlechip=strong)))
+
+
+def _write_singlechip(f, strong, plat):
+    f.write(f"\n## 2. Single-chip saturation (real TPU: {plat})\n\n")
+    f.write(
+        "Throughput vs rollout batch on the one real chip available "
+        "— the measurable scaling dimension here.  The knee of this "
+        "curve is the minimum per-chip batch a multi-chip sharding "
+        "must sustain for near-linear weak scaling (below it, chips "
+        "idle; above it, time grows linearly and sharded efficiency "
+        "is bounded by collectives, not compute).\n\n")
+    f.write("| rollouts | t_batch [s] | rollouts/s |\n")
+    f.write("|---|---|---|\n")
+    for r in strong:
+        f.write(f"| {r['rollouts']} | {r['t_rollout_s']} "
+                f"| {r['rollouts_per_s']:,} |\n")
 
 
 if __name__ == "__main__":
