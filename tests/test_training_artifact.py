@@ -1,9 +1,13 @@
-"""Pin the committed training-to-walking evidence (VERDICT r2 #2).
+"""Pin the committed training-to-walking evidence (VERDICT r2 #2, bar
+ratcheted in r4 per VERDICT r3 #2).
 
-TRAIN_r3.json is produced by scripts/eval_policy.py from the committed
+TRAIN_r4.json is produced by scripts/eval_policy.py from the committed
 checkpoint under logs/flat_anymal_c: the trained ANYmal-C flat PPO policy
-must track the commanded velocity and stay upright — the acceptance profile
-of the reference docs (legged_gym/doc/anymal_tasks.md:87-92).
+must track the commanded velocity AT WALKING HEIGHT and stay upright — the
+acceptance profile of the reference docs (legged_gym/doc/anymal_tasks.md:
+87-92).  The r3 crouch (base 0.347, 0.59 of command) is gone under the
+calibrated engine: the r4 policy walks at 0.499 height, 0.74 of command,
+zero falls.
 
 The fast test checks the committed artifact against the acceptance
 tolerances; the slow test re-measures it from the committed checkpoint
@@ -17,7 +21,7 @@ import sys
 
 import pytest
 
-_ART = os.path.join(os.path.dirname(__file__), "..", "TRAIN_r3.json")
+_ART = os.path.join(os.path.dirname(__file__), "..", "TRAIN_r4.json")
 
 
 def _load():
@@ -27,24 +31,22 @@ def _load():
 
 @pytest.mark.skipif(not os.path.exists(_ART), reason="no training artifact")
 def test_training_artifact_meets_acceptance():
-    """Acceptance bars match what the committed artifact demonstrates: a
-    stable upright walk tracking the commanded direction at the majority of
-    the commanded speed with (near-)zero falls, and — the training-quality
-    pin — earning MORE of the configured reward than the reference
-    checkpoint replayed through the identical env.  (The absolute velocity
-    ratio is bounded by the engine's penalty landscape, not the optimizer:
-    the reference policy itself achieves 0.62 of command under the same
-    replay — see reference_comparison / NOTES_R3.)"""
+    """r4 acceptance: walking-height gait (the r3 crouch pin), ≥0.70 of
+    command, (near-)zero falls, and a correctly-ORDERED reward landscape:
+    the reference checkpoint replayed through the identical env must earn a
+    comparable step reward while tracking near-fully — proving the engine's
+    objective now prices real walking as optimal (in r3 the landscape
+    preferred the crouch; the r4 contact calibration fixed that)."""
     art = _load()
-    assert art["achieved_over_command"] >= 0.55, art
+    assert art["achieved_over_command"] >= 0.70, art
+    assert 0.45 <= art["base_height_mean"] <= 0.55, art  # walking, not crouching
     assert art["upright_mean"] < -0.95, art
-    # falls: bounded — a walking-grade policy survives eval
     assert art["falls"] <= 0.1 * art["n_envs"], art
-    # our optimum must dominate the reference checkpoint on the configured
-    # objective (else training regressed below behavior-cloning quality)
     rc = art["reference_comparison"]
-    assert rc["ours_mean_step_reward"] > rc["reference_mean_step_reward"], rc
-    # the checkpoint it points at is committed
+    # landscape sanity: the PhysX-trained walk is near-optimal here too —
+    # our PPO optimum earns within 10% of it, and it tracks ≥0.9 of command
+    assert rc["ours_mean_step_reward"] >= 0.9 * rc["reference_mean_step_reward"], rc
+    assert rc["reference_achieved_over_command"] >= 0.9, rc
     ckpt = os.path.join(os.path.dirname(_ART), art["checkpoint"])
     assert os.path.exists(ckpt), f"artifact checkpoint missing: {ckpt}"
 
@@ -66,16 +68,18 @@ def test_training_artifact_reproduces():
     # require >=90% of the claimed tracking and the same uprightness bar
     assert fresh["achieved_over_command"] >= 0.9 * art["achieved_over_command"]
     assert fresh["upright_mean"] < -0.95
+    assert fresh["base_height_mean"] >= 0.43
 
 
-_ART_ELS = os.path.join(os.path.dirname(__file__), "..", "TRAIN_ELSPIDER_r3.json")
+_ART_ELS = os.path.join(os.path.dirname(__file__), "..", "TRAIN_ELSPIDER_r4.json")
 
 
 @pytest.mark.skipif(not os.path.exists(_ART_ELS), reason="no elspider artifact")
 def test_elspider_training_artifact_meets_acceptance():
     """The hexapod flat task trains to the reference convergence profile
-    (doc/elspider_air_tasks.md:28-43): near-perfect velocity tracking with
-    zero falls at 500 iterations."""
+    (doc/elspider_air_tasks.md:28-43) under the calibrated engine WITH the
+    reference feet_slip=-0.4 scales restored (r4): near-perfect velocity
+    tracking with zero falls at 500 iterations."""
     with open(_ART_ELS) as f:
         art = json.load(f)
     assert art["achieved_over_command"] >= 0.85, art

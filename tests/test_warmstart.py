@@ -61,9 +61,11 @@ def test_reference_policy_behavior_parity():
     for _ in range(100):
         s = step(s.replace(commands=cmd), pol(s.obs))
         vx.append(float(s.base_lin_vel[:, 0].mean()))
-    # upright, moving forward, no terminations at the end
-    assert (np.asarray(s.phys.base_pos[:, 2]) > 0.35).all()
-    assert np.mean(vx[-30:]) > 0.15
+    # upright, walking near command (r4 calibrated engine + DOF bridge:
+    # full replay tracks 0.94 with zero falls, PARITY_r04 — this shortened
+    # CPU replay keeps margin for warmup transients)
+    assert (np.asarray(s.phys.base_pos[:, 2]) > 0.40).all()
+    assert np.mean(vx[-30:]) > 0.30
 
 
 @pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
