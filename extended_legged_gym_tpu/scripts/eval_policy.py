@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--envs", type=int, default=16)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--max-init-level", type=int, default=None,
+                    help="cap spawn terrain difficulty for rough-terrain "
+                         "eval (levels are sampled 0..cap)")
     args = ap.parse_args()
 
     import extended_legged_gym_tpu.robots  # noqa: F401
@@ -41,6 +44,8 @@ def main():
     env_cfg.domain_rand.randomize_base_mass = False
     env_cfg.domain_rand.push_robots = False
     env_cfg.terrain.curriculum = False
+    if args.max_init_level is not None:
+        env_cfg.terrain.max_init_terrain_level = args.max_init_level
     env_cfg.commands.resampling_time = 1e9
     env, _ = task_registry.make_env(args.task, env_cfg=env_cfg)
 
@@ -82,6 +87,8 @@ def main():
         "base_height_mean": round(float(h.mean()), 4),
         "falls": resets - timeouts,       # terminations that were not timeouts
         "n_envs": args.envs, "n_steps": args.steps,
+        **({"max_init_terrain_level": args.max_init_level}
+           if args.max_init_level is not None else {}),
     }))
 
 
