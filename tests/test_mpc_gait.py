@@ -1,7 +1,8 @@
 """Flagship-gait regression (VERDICT r1 weak #1): the sampling MPC on
 anymal_c_traj_grad_sampling must actually track commanded velocity, not just
-run.  Full acceptance lives in scripts/eval_mpc_gait.py (GAIT_r03.json:
-92.4% of 0.7 m/s over 300 cycles on TPU, fd polish); this shortened version
+run.  Full acceptance lives in scripts/eval_mpc_gait.py (GAIT_r04.json:
+92.9% of 0.7 m/s over 300 cycles on TPU, fd polish, 5 resets/2400
+env-cycles); this shortened version
 pins a floor tied to the committed artifact so quality can't silently erode,
 and a config-identity test guarantees the artifact, the bench, and the
 committed default are ONE config."""
@@ -13,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-_GAIT_ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "GAIT_r03.json")
+_GAIT_ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "GAIT_r04.json")
 
 
 def _load_artifact():
@@ -36,8 +37,10 @@ def test_gait_artifact_matches_committed_config():
         "committed default — re-run scripts/eval_mpc_gait.py")
     # and the artifact itself passes both quality bars
     assert art["achieved_over_command"] >= 0.90
-    # resets bounded: ≤5% of cycles across the whole fleet
-    assert art["resets"] <= 0.05 * art["n_cycles"] * art["n_envs"]
+    # resets bounded: ≤1% of cycles across the whole fleet (r4: 5/2400
+    # measured — the contact calibration + permuted warm-start dropped the
+    # r3 rate of 12/2400; VERDICT r3 #7 bound tightened 5% → 1%)
+    assert art["resets"] <= 0.01 * art["n_cycles"] * art["n_envs"]
 
 
 @pytest.mark.slow
