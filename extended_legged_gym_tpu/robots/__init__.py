@@ -14,6 +14,9 @@ task_registry.register("anymal_c_rough", LeggedRobot,
 task_registry.register("anymal_c_flat", LeggedRobot,
                        anymal_c.anymal_c_flat_cfg,
                        lambda: anymal_c.anymal_c_ppo_cfg("flat_anymal_c"))
+task_registry.register("anymal_c_flat_sea", LeggedRobot,
+                       anymal_c.anymal_c_flat_sea_cfg,
+                       lambda: anymal_c.anymal_c_ppo_cfg("flat_sea_anymal_c"))
 task_registry.register("anymal_c_flat_obstacles", LeggedRobot,
                        anymal_c.anymal_c_flat_obstacles_cfg,
                        lambda: anymal_c.anymal_c_ppo_cfg("flat_obstacles_anymal_c"))

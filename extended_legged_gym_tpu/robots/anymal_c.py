@@ -93,6 +93,19 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     return cfg
 
 
+def anymal_c_flat_sea_cfg() -> LeggedRobotCfg:
+    """Flat task actuated through the ANYdrive v3 SEA LSTM — the reference's
+    ACTUAL training actuation (anymal_c_rough_config.py:68
+    use_actuator_network=True, inherited by the flat task; net consumed at
+    anymal.py:93-105).  The default anymal_c_flat here trains with PD (the
+    fused-kernel fast path); this variant matches the reference electrically
+    at the cost of the XLA engine path."""
+    cfg = anymal_c_flat_cfg()
+    cfg.control.use_actuator_network = True
+    cfg.control.actuator_net_file = os.path.join(_DATA, "anydrive_v3_lstm.json")
+    return cfg
+
+
 def anymal_c_flat_obstacles_cfg() -> LeggedRobotCfg:
     """Flat terrain + passive stone obstacles: the reference's obstacle-gen
     robustness setup (legged_robot_config.py:46-55 with

@@ -59,7 +59,16 @@ def distill(args):
     curve = _chunked_curve(runner.learn, args.iters, max(1, args.iters // 20),
                            key=("behavior_loss",))
 
-    # play-eval the student against the teacher's own behavior metrics
+    # play-eval the student under the same CLEAN conditions as eval_parity
+    # (no pushes/DR — the training env keeps them, like the reference)
+    ecfg = anymal_c_flat_cfg()
+    ecfg.env.num_envs = args.envs
+    ecfg.noise.add_noise = False
+    ecfg.domain_rand.push_robots = False
+    ecfg.domain_rand.randomize_friction = False
+    ecfg.domain_rand.randomize_base_mass = False
+    ecfg.commands.resampling_time = 1e9
+    env = LeggedRobot(ecfg)
     student = runner.get_student_policy()
     s = env.reset_all(jax.random.PRNGKey(3))
     cmd = jnp.zeros_like(s.commands).at[:, 0].set(0.5)
@@ -69,8 +78,12 @@ def distill(args):
         s = env.step(s, student(s.obs)).replace(commands=cmd)
         return s, (s.base_lin_vel[:, 0], s.reset_buf)
 
-    s, (vx, rst) = jax.jit(
-        lambda s: jax.lax.scan(body, s, None, length=300))(s)
+    roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n),
+                   static_argnums=1)
+    # same protocol as eval_parity: discard a 100-step warmup (spawn
+    # transients) before counting falls
+    s, _ = roll(s, 100)
+    s, (vx, rst) = roll(s, 300)
     vx = np.asarray(jax.device_get(vx))
     falls = float(np.asarray(jax.device_get(rst)).sum())
     out = {
@@ -82,9 +95,9 @@ def distill(args):
         "curve": curve,
         "student_eval": {
             "command_mps": 0.5,
-            "achieved_over_command": round(float(vx[100:].mean()) / 0.5, 4),
+            "achieved_over_command": round(float(vx.mean()) / 0.5, 4),
             "falls": falls,
-            "n_envs": args.envs, "n_steps": 300,
+            "n_envs": args.envs, "n_steps": 300, "warmup": 100,
         },
     }
     print(json.dumps(out))
