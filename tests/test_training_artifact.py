@@ -87,3 +87,17 @@ def test_elspider_training_artifact_meets_acceptance():
     assert art["falls"] <= 0.1 * art["n_envs"], art
     ckpt = os.path.join(os.path.dirname(_ART_ELS), art["checkpoint"])
     assert os.path.exists(ckpt), f"artifact checkpoint missing: {ckpt}"
+
+
+def test_sea_variant_meets_verdict_bar():
+    """The SEA-actuated flat task (the reference's actual actuation) meets
+    VERDICT r3 #2's >=0.75-of-command ask with zero falls."""
+    art = _load()
+    if "sea_variant" not in art:
+        pytest.skip("no sea variant recorded")
+    sv = art["sea_variant"]
+    assert sv["achieved_over_command"] >= 0.75, sv
+    assert sv["falls"] == 0.0, sv
+    assert 0.42 <= sv["base_height_mean"] <= 0.55, sv
+    ckpt = os.path.join(os.path.dirname(_ART), sv["checkpoint"])
+    assert os.path.exists(ckpt), ckpt
