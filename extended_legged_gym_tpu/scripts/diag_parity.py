@@ -1,4 +1,7 @@
-"""Round-4 diagnosis: WHY does the reference plane_walk_200.pt fall here?
+"""Instrumented parity diagnosis: per-fall traces for the reference
+checkpoint replay (the tool that root-caused the r4 calibration).
+
+Usage: python -m extended_legged_gym_tpu.scripts.diag_parity [--envs E] ...
 
 Replays the reference checkpoint (same setup as scripts/eval_parity.py) and
 records a dense per-step trace, then prints, for each termination event, the
@@ -45,8 +48,8 @@ def main():
     if not args.no_actuator_net:
         cfg.control.use_actuator_network = True
         cfg.control.actuator_net_file = os.path.join(
-            os.path.dirname(__file__), "..", "extended_legged_gym_tpu",
-            "robots", "data", "anydrive_v3_lstm.json")
+            os.path.dirname(__file__), "..", "robots", "data",
+            "anydrive_v3_lstm.json")
     for name in ("kp", "kd", "kt"):
         v = getattr(args, name)
         if v is not None:
