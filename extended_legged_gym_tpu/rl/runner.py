@@ -337,6 +337,25 @@ class OnPolicyRunner:
             iteration=jnp.asarray(payload.get("iteration", 0), jnp.int32))
         return payload
 
+    def warmstart_from_reference(self, pt_path: str):
+        """Initialize PPO params from a reference rsl_rl ``.pt`` checkpoint
+        (DOF-order bridged into this engine's joint convention in weight
+        space — torch_compat.permute_params_to_our_dof_order), keeping a
+        fresh optimizer state.  The VERDICT r4 #1 basin-reachability
+        diagnostic: finetune from the PhysX-trained optimum and see whether
+        PPO keeps or abandons it under this engine's reward landscape."""
+        from .torch_compat import (load_rsl_rl_checkpoint,
+                                   permute_params_to_our_dof_order,
+                                   torch_actor_critic_to_flax)
+
+        sd, _ = load_rsl_rl_checkpoint(pt_path)
+        params = torch_actor_critic_to_flax(sd, self.state.ppo.params)
+        params = permute_params_to_our_dof_order(
+            params, self.env.model.joint_names)
+        self.state = self.state.replace(ppo=self.state.ppo.replace(
+            params=params, opt_state=self.optimizer.init(params)))
+        print(f"Warm-started PPO params from reference checkpoint: {pt_path}")
+
     def get_inference_policy(self):
         """Deterministic policy fn (reference on_policy_runner.py:717-727).
         For recurrent policies the returned fn is stateful-by-argument:

@@ -105,6 +105,48 @@ def permuted_policy(policy, our_joint_names: Sequence[str],
     return wrapped
 
 
+def permute_params_to_our_dof_order(params: dict,
+                                    our_joint_names: Sequence[str],
+                                    ref_joint_names: Sequence[str] | None = None,
+                                    dof_obs_start: int = 12) -> dict:
+    """Bake the DOF-order bridge into the WEIGHTS: returns ActorCritic params
+    that speak this engine's joint order natively (input-layer rows of the
+    three nj-wide obs segments and the actor output layer / log_std are
+    permuted).  Exactly equivalent to wrapping with ``permuted_policy`` —
+    pinned by tests/test_warmstart.py — but usable as a PPO init for
+    finetuning (VERDICT r4 next #1's reference-warm-start diagnostic).
+
+    Assumes the canonical LeggedRobot obs layout (legged_robot.py:234-252)
+    for BOTH actor and critic inputs (flat task: critic obs == obs)."""
+    import jax
+
+    perm, inv = dof_permutation(our_joint_names, ref_joint_names)
+    nj = len(perm)
+    s0 = dof_obs_start
+    out = jax.tree.map(lambda x: x, params)
+    p = out["params"]
+
+    def perm_in(k):
+        # ref net reads obs_ref[base+i] = obs_ours[base+perm[i]] per segment →
+        # the our-native kernel row base+perm[i] must carry ref row base+i
+        k = np.asarray(k).copy()
+        for seg in range(3):
+            base = s0 + seg * nj
+            src = k[base:base + nj].copy()
+            k[base + perm] = src
+        return jnp.asarray(k)
+
+    p["actor"]["Dense_0"]["kernel"] = perm_in(p["actor"]["Dense_0"]["kernel"])
+    p["critic"]["Dense_0"]["kernel"] = perm_in(p["critic"]["Dense_0"]["kernel"])
+    n_out = max(int(i.split("_")[1]) for i in p["actor"] if i.startswith("Dense_"))
+    last = p["actor"][f"Dense_{n_out}"]
+    last["kernel"] = jnp.asarray(np.asarray(last["kernel"])[:, inv])
+    last["bias"] = jnp.asarray(np.asarray(last["bias"])[inv])
+    if "log_std" in p:
+        p["log_std"] = jnp.asarray(np.asarray(p["log_std"])[inv])
+    return out
+
+
 def load_reference_policy(path: str, num_obs: int, num_actions: int,
                           hidden_dims: Sequence[int] = (128, 64, 32),
                           activation: str = "elu",

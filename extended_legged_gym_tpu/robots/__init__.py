@@ -10,7 +10,7 @@ from . import anymal_c, anymal_c_traj, a1, go2, cassie, anymal_b, cyberdog2, els
 
 task_registry.register("anymal_c_rough", LeggedRobot,
                        anymal_c.anymal_c_rough_cfg,
-                       lambda: anymal_c.anymal_c_ppo_cfg("rough_anymal_c"))
+                       anymal_c.anymal_c_rough_ppo_cfg)
 task_registry.register("anymal_c_flat", LeggedRobot,
                        anymal_c.anymal_c_flat_cfg,
                        lambda: anymal_c.anymal_c_ppo_cfg("flat_anymal_c"))

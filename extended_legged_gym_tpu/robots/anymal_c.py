@@ -90,6 +90,16 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     s.dof_acc = [-6.25e-8, -2.5e-7]
     s.action_rate = [-0.0025, -0.01]
     s.collision = [-0.25, -1.0]
+    # NOTE engine-specific calibration (r5): the reference runs base_height
+    # at -0.0 on flat (anymal_c_flat_config.py) because PhysX's dynamics keep
+    # the trained gait near 0.50 m implicitly; under this engine PPO drifts
+    # into a straight-knee 0.62 m walk (lower torque cost, stable here) that
+    # PhysX's noisier contact impulses would topple.  Pricing height
+    # deviation restores the reference's implicit height prior: the
+    # reference checkpoint walks at 0.52 m and pays ~nothing, the tall
+    # exploit pays ~0.03/step (decisive).  A/B on chip 2026-08-21: warm-start
+    # finetune without this term converges to 1.01 of command at h=0.62.
+    s.base_height = [-0.5, -2.0]
     return cfg
 
 
@@ -124,4 +134,17 @@ def anymal_c_ppo_cfg(experiment: str = "flat_anymal_c") -> LeggedRobotCfgPPO:
     train.runner.max_iterations = 300
     train.policy.actor_hidden_dims = [128, 64, 32]
     train.policy.critic_hidden_dims = [128, 64, 32]
+    return train
+
+
+def anymal_c_rough_ppo_cfg() -> LeggedRobotCfgPPO:
+    """Rough-terrain PPO config: the reference rough task keeps the BASE
+    network sizes [512, 256, 128] (anymal_c_rough_config.py only overrides
+    runner names; LeggedRobotCfgPPO.policy defaults apply) — the flat task's
+    [128, 64, 32] override (AnymalCFlatCfgPPO) must NOT leak here: 235-dim
+    perceptive obs need the capacity (r4 trained rough with the small nets
+    and stalled at 0.62-of-command competence)."""
+    train = LeggedRobotCfgPPO()
+    train.runner.experiment_name = "rough_anymal_c"
+    train.runner.max_iterations = 1500
     return train

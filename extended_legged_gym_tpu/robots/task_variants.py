@@ -301,6 +301,10 @@ def elair_nav_barrier_cfg(num_main_envs: int = 4) -> RobotNavCfg:
     # cumulative proportions [tunnel, barrier, timber, gap]: barrier only
     cfg.terrain.confined_terrain_proportions = [0.0, 1.0, 1.0, 1.0]
     _light_confined(cfg.terrain)
+    # contact-critical confined scene: collide with the TRUE mesh by
+    # default, as the reference does unconditionally for every
+    # confined/OBJ scene (PhysX add_triangle_mesh, legged_robot.py:686-723)
+    cfg.terrain.trimesh_contacts = True
     return cfg
 
 
@@ -312,6 +316,10 @@ def elair_nav_timberpile_cfg(num_main_envs: int = 4) -> RobotNavCfg:
     # cumulative proportions: timber piles only
     cfg.terrain.confined_terrain_proportions = [0.0, 0.0, 1.0, 1.0]
     _light_confined(cfg.terrain)
+    # contact-critical confined scene: collide with the TRUE mesh by
+    # default, as the reference does unconditionally for every
+    # confined/OBJ scene (PhysX add_triangle_mesh, legged_robot.py:686-723)
+    cfg.terrain.trimesh_contacts = True
     return cfg
 
 
@@ -363,6 +371,10 @@ def anymal_c_nav_timberpile_cfg(num_main_envs: int = 4) -> RobotNavCfg:
     # cumulative proportions: timber piles only
     cfg.terrain.confined_terrain_proportions = [0.0, 0.0, 1.0, 1.0]
     _light_confined(cfg.terrain)
+    # contact-critical confined scene: collide with the TRUE mesh by
+    # default, as the reference does unconditionally for every
+    # confined/OBJ scene (PhysX add_triangle_mesh, legged_robot.py:686-723)
+    cfg.terrain.trimesh_contacts = True
     return cfg
 
 
@@ -434,6 +446,8 @@ def anymal_c_base_pose_adapt_cfg() -> BasePoseAdaptCfg:
     cfg.asset.robot_model = os.path.join(
         os.path.dirname(__file__), "data", "anymal_c.json")
     cfg.asset.nominal_height = 0.5
+    # confined scene: true-mesh contacts by default (ref add_triangle_mesh)
+    cfg.sim.trimesh_contacts = True
     return cfg
 
 
@@ -454,6 +468,8 @@ def el_mini_base_pose_adapt_cfg() -> BasePoseAdaptCfg:
     cfg.asset.robot_model = os.path.join(
         os.path.dirname(__file__), "data", "elspider_air.json")
     cfg.asset.nominal_height = 0.25
+    # confined scene: true-mesh contacts by default (ref add_triangle_mesh)
+    cfg.sim.trimesh_contacts = True
     return cfg
 
 

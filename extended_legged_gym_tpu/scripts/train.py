@@ -8,6 +8,8 @@ def train(args):
 
     env, env_cfg = task_registry.make_env(args.task, args)
     runner, train_cfg = task_registry.make_alg_runner(env, args.task, args)
+    if getattr(args, "warmstart_pt", None):
+        runner.warmstart_from_reference(args.warmstart_pt)
     runner.learn(train_cfg.runner.max_iterations)
 
 

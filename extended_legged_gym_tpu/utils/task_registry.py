@@ -126,6 +126,9 @@ def get_args(default_task: str = "anymal_c_flat") -> argparse.Namespace:
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--max_iterations", type=int, default=None)
     parser.add_argument("--headless", action="store_true", default=True)
+    parser.add_argument("--warmstart_pt", type=str, default=None,
+                        help="reference rsl_rl .pt checkpoint to warm-start "
+                             "PPO params from (DOF-order bridged)")
     return parser.parse_args()
 
 

@@ -159,3 +159,38 @@ def test_dof_permutation_roundtrip():
     assert (seen["obs"][0, 12:12 + nj] == expect_ref).all()
     # echoed action came back in OUR order
     assert (a[0] == obs[0, 12:12 + nj]).all()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT), reason="reference ckpt absent")
+def test_weight_space_dof_permutation_matches_wrapper():
+    """permute_params_to_our_dof_order (the PPO-finetune warm-start init)
+    must be EXACTLY the permuted_policy wrapper, expressed in weight space."""
+    from extended_legged_gym_tpu.models.networks import ActorCritic
+    from extended_legged_gym_tpu.rl.torch_compat import (
+        load_reference_policy, load_rsl_rl_checkpoint,
+        permute_params_to_our_dof_order, torch_actor_critic_to_flax)
+
+    joint_names = ('RH_HAA', 'RH_HFE', 'RH_KFE', 'LH_HAA', 'LH_HFE', 'LH_KFE',
+                   'RF_HAA', 'RF_HFE', 'RF_KFE', 'LF_HAA', 'LF_HFE', 'LF_KFE')
+    net, raw_params, wrapped = load_reference_policy(
+        REF_CKPT, 48, 12, our_joint_names=joint_names)
+    native = permute_params_to_our_dof_order(raw_params, joint_names)
+
+    obs = jax.random.normal(jax.random.PRNGKey(3), (5, 48))
+    a_wrapped = wrapped(obs)
+    a_native = net.apply(native, obs, method=net.act_inference)
+    np.testing.assert_allclose(np.asarray(a_wrapped), np.asarray(a_native),
+                               rtol=1e-5, atol=1e-6)
+
+    # critic parity: native params on our-order obs == raw params on the
+    # same obs re-ordered into the reference's DOF convention
+    from extended_legged_gym_tpu.rl.torch_compat import dof_permutation
+    perm, _ = dof_permutation(joint_names)
+    P = jnp.asarray(perm)
+    obs_ref = jnp.concatenate(
+        [obs[:, :12], obs[:, 12:24][:, P], obs[:, 24:36][:, P],
+         obs[:, 36:48][:, P]], axis=-1)
+    _, _, v_native = net.apply(native, obs, obs)
+    _, _, v_raw = net.apply(raw_params, obs_ref, obs_ref)
+    np.testing.assert_allclose(np.asarray(v_native), np.asarray(v_raw),
+                               rtol=1e-5, atol=1e-6)
