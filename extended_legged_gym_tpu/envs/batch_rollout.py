@@ -81,6 +81,12 @@ class RLWarmstartCfg:
     use_for_append: bool = True
     standardize_obs: bool = True
     obs_type: str = "non_privileged"
+    # near-fall recovery (r5, VERDICT r4 #6): when a main env tips past the
+    # uprightness threshold or resets, its shifted node trajectory is stale
+    # (it encodes the pre-disturbance plan); re-seed it from the warm-start
+    # policy rollout instead of polishing a doomed plan
+    refresh_on_near_fall: bool = True
+    near_fall_upright: float = -0.9
 
 
 @configclass
@@ -467,4 +473,12 @@ class RobotTrajGradSampling(RobotBatchRollout):
         if getattr(self, "rl_policy", None) is not None and self.cfg.rl_warmstart.use_for_append:
             append = self.rl_policy(state.obs)
         nodes = self.shift_trajectory_batch(nodes, append_action=append)
+        if (getattr(self, "rl_policy", None) is not None
+                and getattr(self.cfg.rl_warmstart, "refresh_on_near_fall", False)):
+            # per-env recovery re-seed: tipping or freshly-reset envs get a
+            # fresh policy-rollout plan instead of the stale shifted one
+            near = (state.projected_gravity[:, 2]
+                    > self.cfg.rl_warmstart.near_fall_upright) | state.reset_buf
+            nodes = jnp.where(near[:, None, None],
+                              self.init_trajectories_from_rl(state), nodes)
         return state, nodes, info

@@ -265,6 +265,18 @@ class LeggedRobot:
             self.height_points = np.zeros((0, 2), np.float32)
             self.num_height_points = 0
 
+        # --- optional raycast observations (perceptive PPO tasks): the
+        # percept MPC family reads rays via RobotBatchRolloutPercept; PPO
+        # tasks opt in here with cfg.raycaster.enable_raycast — the obs tail
+        # gets the normalized inverse-distance channels, and the
+        # terrain-estimator stack can swap its predictions in at deployment
+        # (scripts/estimator_closed_loop.py)
+        self.raycaster = None
+        if cfg.raycaster.enable_raycast:
+            from ..perception.raycast import RayCaster
+
+            self.raycaster = RayCaster(cfg.raycaster, self.terrain)
+
         # --- env origins ---
         self._init_env_origins()
 
@@ -946,6 +958,9 @@ class LeggedRobot:
                 state.phys.base_pos[:, 2:3] - 0.5 - state.measured_heights,
                 -1.0, 1.0) * os_.height_measurements
             parts.append(heights)
+        if self.raycaster is not None:
+            parts.append(self.raycaster.observations(
+                state.phys.base_pos, state.phys.base_quat))
         obs = jnp.concatenate(parts, axis=-1)
         if noise_key is not None:
             noise = (2 * jax.random.uniform(noise_key, obs.shape) - 1) * self.noise_scale_vec

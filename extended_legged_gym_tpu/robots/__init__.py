@@ -20,6 +20,9 @@ task_registry.register("anymal_c_flat_sea", LeggedRobot,
 task_registry.register("anymal_c_flat_obstacles", LeggedRobot,
                        anymal_c.anymal_c_flat_obstacles_cfg,
                        lambda: anymal_c.anymal_c_ppo_cfg("flat_obstacles_anymal_c"))
+task_registry.register("anymal_c_rough_raycast", LeggedRobot,
+                       anymal_c.anymal_c_rough_raycast_cfg,
+                       lambda: anymal_c.anymal_c_rough_ppo_cfg("rough_raycast_anymal_c"))
 task_registry.register("anymal_c_traj_grad_sampling",
                        anymal_c_traj.AnymalCTrajGradSampling,
                        anymal_c_traj.anymal_c_traj_sampling_cfg, None)

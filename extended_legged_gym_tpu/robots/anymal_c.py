@@ -128,6 +128,24 @@ def anymal_c_flat_obstacles_cfg() -> LeggedRobotCfg:
     return cfg
 
 
+def anymal_c_rough_raycast_cfg() -> LeggedRobotCfg:
+    """Perceptive PPO via forward raycast channels on rough terrain — the
+    policy-side consumer for the terrain-estimator stack (reference
+    terrain_estimator_runner.py play/eval: estimator predictions stand in
+    for raycast ground truth; scripts/estimator_closed_loop.py measures the
+    tracking delta).  Obs = the 235-dim rough set + 32 normalized
+    inverse-distance cone rays."""
+    cfg = anymal_c_rough_cfg()
+    cfg.raycaster.enable_raycast = True
+    cfg.raycaster.ray_pattern = "cone"
+    cfg.raycaster.num_rays = 32
+    cfg.raycaster.ray_angle = 60.0
+    cfg.raycaster.max_distance = 10.0
+    cfg.raycaster.offset_pos = [0.5, 0.0, 0.0]
+    cfg.env.num_observations = 235 + 32
+    return cfg
+
+
 def anymal_c_ppo_cfg(experiment: str = "flat_anymal_c") -> LeggedRobotCfgPPO:
     train = LeggedRobotCfgPPO()
     train.runner.experiment_name = experiment
@@ -137,7 +155,7 @@ def anymal_c_ppo_cfg(experiment: str = "flat_anymal_c") -> LeggedRobotCfgPPO:
     return train
 
 
-def anymal_c_rough_ppo_cfg() -> LeggedRobotCfgPPO:
+def anymal_c_rough_ppo_cfg(experiment: str = "rough_anymal_c") -> LeggedRobotCfgPPO:
     """Rough-terrain PPO config: the reference rough task keeps the BASE
     network sizes [512, 256, 128] (anymal_c_rough_config.py only overrides
     runner names; LeggedRobotCfgPPO.policy defaults apply) — the flat task's
@@ -145,6 +163,6 @@ def anymal_c_rough_ppo_cfg() -> LeggedRobotCfgPPO:
     perceptive obs need the capacity (r4 trained rough with the small nets
     and stalled at 0.62-of-command competence)."""
     train = LeggedRobotCfgPPO()
-    train.runner.experiment_name = "rough_anymal_c"
+    train.runner.experiment_name = experiment
     train.runner.max_iterations = 1500
     return train

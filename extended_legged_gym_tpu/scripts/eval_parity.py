@@ -37,51 +37,94 @@ def main():
     from extended_legged_gym_tpu.robots.anymal_c import anymal_c_flat_cfg
     from extended_legged_gym_tpu.rl.torch_compat import load_reference_policy
 
-    cfg = anymal_c_flat_cfg()
-    cfg.env.num_envs = args.envs
-    # eval conditions (reference play.py:46-52: no noise/push/randomization)
-    cfg.noise.add_noise = False
-    cfg.domain_rand.push_robots = False
-    cfg.domain_rand.randomize_friction = False
-    cfg.domain_rand.randomize_base_mass = False
-    cfg.commands.resampling_time = 1e9
-    if not args.no_actuator_net:
-        # the reference checkpoint was trained THROUGH the ANYdrive SEA
-        # network (anymal.py:93-105), not raw PD — replay it the same way
-        import os
+    def build_env(kp=None, kd=None):
+        cfg = anymal_c_flat_cfg()
+        cfg.env.num_envs = args.envs
+        # eval conditions (reference play.py:46-52: no noise/push/randomization)
+        cfg.noise.add_noise = False
+        cfg.domain_rand.push_robots = False
+        cfg.domain_rand.randomize_friction = False
+        cfg.domain_rand.randomize_base_mass = False
+        cfg.commands.resampling_time = 1e9
+        if kp is not None:
+            cfg.sim.contact_kp = kp
+        if kd is not None:
+            cfg.sim.contact_kd = kd
+        if not args.no_actuator_net:
+            # the reference checkpoint was trained THROUGH the ANYdrive SEA
+            # network (anymal.py:93-105), not raw PD — replay it the same way
+            import os
 
-        cfg.control.use_actuator_network = True
-        cfg.control.actuator_net_file = os.path.join(
-            os.path.dirname(__file__), "..", "robots", "data",
-            "anydrive_v3_lstm.json")
-    env = LeggedRobot(cfg)
+            cfg.control.use_actuator_network = True
+            cfg.control.actuator_net_file = os.path.join(
+                os.path.dirname(__file__), "..", "robots", "data",
+                "anydrive_v3_lstm.json")
+        return LeggedRobot(cfg)
+
+    env = build_env()
     # bridge the checkpoint's Isaac Gym DOF order (torch_compat.dof_permutation)
     _, _, policy = load_reference_policy(args.ckpt, 48, 12,
                                          our_joint_names=env.model.joint_names)
-    s = env.reset_all(jax.random.PRNGKey(0))
-    cmd = jnp.zeros_like(s.commands).at[:, 0].set(args.cmd)
-    s = s.replace(commands=cmd)
 
-    def body(s, _):
-        a = policy(s.obs)
-        s = env.step(s, a)
+    def replay(env, policy):
+        s = env.reset_all(jax.random.PRNGKey(0))
+        cmd = jnp.zeros_like(s.commands).at[:, 0].set(args.cmd)
         s = s.replace(commands=cmd)
-        contact = s.geom_forces[:, env.feet_geoms, 2] > 1.0
-        return s, dict(vx=s.base_lin_vel[:, 0], h=s.phys.base_pos[:, 2],
-                       up=s.projected_gravity[:, 2],
-                       contact=contact, resets=s.reset_buf.sum())
 
-    roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n),
-                   static_argnums=1)
-    s, _ = roll(s, args.warmup)
-    s, outs = roll(s, args.steps)
-    vx = np.asarray(jax.device_get(outs["vx"]))          # [T, E]
-    h = np.asarray(jax.device_get(outs["h"]))
-    up = np.asarray(jax.device_get(outs["up"]))
-    contact = np.asarray(jax.device_get(outs["contact"]))  # [T, E, nf]
-    resets = float(np.asarray(jax.device_get(outs["resets"])).sum())
+        def body(s, _):
+            a = policy(s.obs)
+            s = env.step(s, a)
+            s = s.replace(commands=cmd)
+            contact = s.geom_forces[:, env.feet_geoms, 2] > 1.0
+            return s, dict(vx=s.base_lin_vel[:, 0], h=s.phys.base_pos[:, 2],
+                           up=s.projected_gravity[:, 2],
+                           contact=contact, resets=s.reset_buf.sum())
 
+        roll = jax.jit(lambda s, n: jax.lax.scan(body, s, None, length=n),
+                       static_argnums=1)
+        s, _ = roll(s, args.warmup)
+        s, outs = roll(s, args.steps)
+        g = lambda k: np.asarray(jax.device_get(outs[k]))
+        return g("vx"), g("h"), g("up"), g("contact"), float(g("resets").sum())
+
+    vx, h, up, contact, resets = replay(env, policy)
     duty = contact.mean(axis=0)                           # stance fraction [E, nf]
+
+    # --- mirror-symmetry check (r5): replay the LEFT<->RIGHT mirrored policy.
+    # The checkpoint's per-foot duty is asymmetric (one hind foot ~0.99);
+    # if the asymmetry FLIPS sides under mirroring, it is intrinsic to the
+    # PhysX-trained policy and the engine is left-right symmetric — if it
+    # stayed on the same foot, the engine would be breaking symmetry.
+    names = list(env.model.joint_names)
+    mirror_name = {n: n.replace("L", "@").replace("R", "L").replace("@", "R")
+                   for n in names}
+    perm = np.array([names.index(mirror_name[n]) for n in names])
+    signs = np.array([-1.0 if "HAA" in n else 1.0 for n in names])
+    P, S = jnp.asarray(perm), jnp.asarray(signs)
+
+    def mirror_obs(obs):
+        return jnp.concatenate([
+            obs[:, 0:3] * jnp.array([1., -1., 1.]),     # lin vel
+            obs[:, 3:6] * jnp.array([-1., 1., -1.]),    # ang vel
+            obs[:, 6:9] * jnp.array([1., -1., 1.]),     # projected gravity
+            obs[:, 9:12] * jnp.array([1., -1., -1.]),   # vx, vy, wyaw commands
+            obs[:, 12:24][:, P] * S, obs[:, 24:36][:, P] * S,
+            obs[:, 36:48][:, P] * S], -1)
+
+    def mirrored_policy(obs):
+        return policy(mirror_obs(obs))[:, P] * S
+
+    _, _, _, contact_m, resets_m = replay(env, mirrored_policy)
+    duty_m = contact_m.mean(axis=0)
+
+    # --- contact-stiffness sensitivity (r5): the default operating point is
+    # soft (kp=3e4 → ~4-7 mm penetration; chosen for zero-falls stability of
+    # the penalty model).  At PhysX-like rigidity (kp=1e5, kd=3e3 → ~2 mm)
+    # the same replay's duty symmetrizes toward a reference-like trot —
+    # the soft ground lengthens APPARENT stance of the lightly-swung feet.
+    env_stiff = build_env(kp=1.0e5, kd=3.0e3)
+    _, _, _, contact_s, resets_s = replay(env_stiff, policy)
+    duty_s = contact_s.mean(axis=0)
     out = {
         "task": "anymal_c_flat + reference plane_walk_200.pt",
         "command_mps": args.cmd,
@@ -105,13 +148,39 @@ def main():
         # leg-mapping or stiction regression reads as a limp here first)
         "duty_spread": round(float(duty.mean(axis=0).max()
                                    - duty.mean(axis=0).min()), 4),
+        # r5 root-cause evidence for the per-foot duty asymmetry:
+        # (a) the asymmetry FLIPS under the mirrored policy → intrinsic to
+        #     the PhysX-trained checkpoint, not an engine asymmetry;
+        # (b) at PhysX-like contact rigidity the duty symmetrizes → the
+        #     residual spread at the default (soft) operating point is a
+        #     stance-registration artifact of penalty contacts.
+        "mirror_check": {
+            "duty_factor_per_foot": [round(float(d), 3)
+                                     for d in duty_m.mean(axis=0)],
+            "resets": resets_m,
+            "asymmetry_flips_with_policy": bool(
+                (np.argmax(duty.mean(axis=0)) != np.argmax(duty_m.mean(axis=0)))
+            ),
+        },
+        "physx_like_stiffness_check": {
+            "contact_kp": 1.0e5, "contact_kd": 3.0e3,
+            "duty_factor_per_foot": [round(float(d), 3)
+                                     for d in duty_s.mean(axis=0)],
+            "duty_spread": round(float(duty_s.mean(axis=0).max()
+                                       - duty_s.mean(axis=0).min()), 4),
+            "resets": resets_s,
+        },
         "tolerances": {
-            "achieved_over_command_min": 0.85,
+            "achieved_over_command_min": 0.90,
             "base_height_range": [0.45, 0.60],
             "duty_factor_range": [0.50, 1.00],
-            "duty_spread_max": 0.35,
+            "duty_spread_max": 0.30,
             "upright_max": -0.97,
-            "resets_max": 4.0,
+            "resets_max": 0.0,
+            "mirror_flip_required": True,
+            "stiff_duty_factor_range": [0.55, 0.90],
+            "stiff_duty_spread_max": 0.15,
+            "stiff_resets_max": 4.0,
         },
     }
     print(json.dumps(out))
