@@ -46,6 +46,23 @@ def anymal_c_rough_cfg() -> LeggedRobotCfg:
     cfg.rewards.base_height_target = 0.5
     cfg.rewards.max_contact_force = 500.0
     cfg.rewards.only_positive_rewards = True
+    # NOTE engine-specific bootstrap (same machinery as the flat task, see
+    # the note there): at the reference-size [512, 256, 128] networks the
+    # full-penalty objective collapses from scratch (value net fits the
+    # all-zero-reward fleet before tracking emerges; episode length decayed
+    # 69 -> 28 by iter 240 on chip, 2026-08-21) — stage 0 runs penalties at
+    # 25% until mean episode reward crosses the threshold, then the
+    # reference scales apply
+    cfg.rewards.multi_stage_rewards = True
+    cfg.rewards.reward_max_stage = 1
+    cfg.rewards.reward_stage_threshold = 3.0
+    s = cfg.rewards.scales
+    s.lin_vel_z = [-0.5, -2.0]
+    s.ang_vel_xy = [-0.0125, -0.05]
+    s.torques = [-2.5e-6, -1.0e-5]
+    s.dof_acc = [-6.25e-8, -2.5e-7]
+    s.action_rate = [-0.0025, -0.01]
+    s.collision = [-0.25, -1.0]
     return cfg
 
 
@@ -93,13 +110,16 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     # NOTE engine-specific calibration (r5): the reference runs base_height
     # at -0.0 on flat (anymal_c_flat_config.py) because PhysX's dynamics keep
     # the trained gait near 0.50 m implicitly; under this engine PPO drifts
-    # into a straight-knee 0.62 m walk (lower torque cost, stable here) that
-    # PhysX's noisier contact impulses would topple.  Pricing height
-    # deviation restores the reference's implicit height prior: the
-    # reference checkpoint walks at 0.52 m and pays ~nothing, the tall
-    # exploit pays ~0.03/step (decisive).  A/B on chip 2026-08-21: warm-start
-    # finetune without this term converges to 1.01 of command at h=0.62.
-    s.base_height = [-0.5, -2.0]
+    # into a straight-knee 0.62 m walk that PhysX's noisier contact impulses
+    # would topple.  Measured tall-gait economics (per-term replay, chip +
+    # CPU 2026-08-21): straight knees save ~4.3e-3/step (torques 2.0e-3,
+    # feet_air_time 1.7e-3, dof_acc/orientation the rest) at equal tracking,
+    # so the height term must price a 0.107 m deviation above that:
+    # scale 20 → (0.107)²·20·dt ≈ 4.6e-3/step.  -20 is within the family the
+    # reference codebase uses for other robots' base_height terms; the
+    # reference gait at 0.506 m pays ~7e-6/step (nothing).  A/B: at -2.0 a
+    # warm-started finetune still converged to 1.02-of-command at h=0.607.
+    s.base_height = [-5.0, -20.0]
     return cfg
 
 

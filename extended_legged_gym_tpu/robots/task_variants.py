@@ -331,6 +331,9 @@ def anymal_c_batch_rollout_cfg(num_main_envs: int = 16) -> RobotBatchRolloutCfg:
     """ref anymal_c/batch_rollout/anymal_c_batch_rollout_config.py."""
     cfg = _copy_sections(RobotBatchRolloutCfg(), anymal_c.anymal_c_rough_cfg())
     cfg.env.num_envs = num_main_envs
+    # MPC rollout scoring has no stage-advancement runner: resolve the rough
+    # task's staged bootstrap lists to the reference scales (ADVICE r3)
+    cfg.rewards.multi_stage_rewards = False
     return cfg
 
 
