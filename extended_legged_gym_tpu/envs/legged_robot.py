@@ -267,10 +267,11 @@ class LeggedRobot:
 
         # --- optional raycast observations (perceptive PPO tasks): the
         # percept MPC family reads rays via RobotBatchRolloutPercept; PPO
-        # tasks opt in here with cfg.raycaster.enable_raycast — the obs tail
-        # gets the normalized inverse-distance channels, and the
-        # terrain-estimator stack can swap its predictions in at deployment
-        # (scripts/estimator_closed_loop.py)
+        # tasks opt in with cfg.raycaster.attach_to_obs — the obs tail gets
+        # the normalized inverse-distance channels, and the terrain-estimator
+        # stack can swap its predictions in at deployment
+        # (scripts/estimator_closed_loop.py).  enable_raycast alone builds
+        # the caster without touching the obs layout (estimator supervision).
         self.raycaster = None
         if cfg.raycaster.enable_raycast:
             from ..perception.raycast import RayCaster
@@ -958,7 +959,7 @@ class LeggedRobot:
                 state.phys.base_pos[:, 2:3] - 0.5 - state.measured_heights,
                 -1.0, 1.0) * os_.height_measurements
             parts.append(heights)
-        if self.raycaster is not None:
+        if self.raycaster is not None and self.cfg.raycaster.attach_to_obs:
             parts.append(self.raycaster.observations(
                 state.phys.base_pos, state.phys.base_quat))
         obs = jnp.concatenate(parts, axis=-1)

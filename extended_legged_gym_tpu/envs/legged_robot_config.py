@@ -216,6 +216,12 @@ class SimCfg:
 @configclass
 class RaycasterCfg:
     enable_raycast: bool = False
+    # append the normalized inverse-distance ray channels to the policy obs
+    # (perceptive PPO tasks, e.g. anymal_c_rough_raycast).  Kept separate
+    # from enable_raycast: the terrain-estimator stack enables the raycaster
+    # purely as a supervision target without widening the obs vector
+    # (scripts/terrain_est_train.py, tests/test_terrain_estimator.py)
+    attach_to_obs: bool = False
     ray_pattern: str = "cone"    # single, grid, cone, spherical, spherical2
     spherical_num_azimuth: int = 8
     spherical_num_elevation: int = 4

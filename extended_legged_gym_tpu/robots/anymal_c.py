@@ -115,11 +115,13 @@ def anymal_c_flat_cfg() -> LeggedRobotCfg:
     # CPU 2026-08-21): straight knees save ~4.3e-3/step (torques 2.0e-3,
     # feet_air_time 1.7e-3, dof_acc/orientation the rest) at equal tracking,
     # so the height term must price a 0.107 m deviation above that:
-    # scale 20 → (0.107)²·20·dt ≈ 4.6e-3/step.  -20 is within the family the
-    # reference codebase uses for other robots' base_height terms; the
-    # reference gait at 0.506 m pays ~7e-6/step (nothing).  A/B: at -2.0 a
-    # warm-started finetune still converged to 1.02-of-command at h=0.607.
-    s.base_height = [-5.0, -20.0]
+    # scale 20 → (0.107)²·20·dt ≈ 4.6e-3/step.  -40 doubles that margin so
+    # the equilibrium sits inside the reference band: the -20 A/B converged
+    # to 0.967-of-command at h=0.525 (5 mm above the 0.48–0.52 reference
+    # profile), -40 halves the residual deviation; the reference gait at
+    # 0.506 m still pays ~1e-5/step (nothing).  Earlier A/B: at -2.0 a
+    # warm-started finetune converged to 1.02-of-command at h=0.607.
+    s.base_height = [-10.0, -40.0]
     return cfg
 
 
@@ -157,6 +159,7 @@ def anymal_c_rough_raycast_cfg() -> LeggedRobotCfg:
     inverse-distance cone rays."""
     cfg = anymal_c_rough_cfg()
     cfg.raycaster.enable_raycast = True
+    cfg.raycaster.attach_to_obs = True
     cfg.raycaster.ray_pattern = "cone"
     cfg.raycaster.num_rays = 32
     cfg.raycaster.ray_angle = 60.0

@@ -1,13 +1,15 @@
 """Pin the committed training-to-walking evidence (VERDICT r2 #2, bar
-ratcheted in r4 per VERDICT r3 #2).
+ratcheted in r4 per VERDICT r3 #2 and in r5 per VERDICT r4 #1).
 
-TRAIN_r4.json is produced by scripts/eval_policy.py from the committed
+TRAIN_r5.json is produced by scripts/eval_policy.py from the committed
 checkpoint under logs/flat_anymal_c: the trained ANYmal-C flat PPO policy
 must track the commanded velocity AT WALKING HEIGHT and stay upright — the
 acceptance profile of the reference docs (legged_gym/doc/anymal_tasks.md:
-87-92).  The r3 crouch (base 0.347, 0.59 of command) is gone under the
-calibrated engine: the r4 policy walks at 0.499 height, 0.74 of command,
-zero falls.
+87-92).  History of the bar: r3 crouched (0.347 m, 0.59 of command); r4
+walked at height but under-tracked (0.499 m, 0.74, zero falls); r5 closes
+the optimization gap (0.510 m, 0.977 of command, zero falls — the
+reference-checkpoint warm-start + staged height calibration recipe) and the
+policy now out-earns the PhysX-trained optimum on the full-scale reward.
 
 The fast test checks the committed artifact against the acceptance
 tolerances; the slow test re-measures it from the committed checkpoint
@@ -21,7 +23,7 @@ import sys
 
 import pytest
 
-_ART = os.path.join(os.path.dirname(__file__), "..", "TRAIN_r4.json")
+_ART = os.path.join(os.path.dirname(__file__), "..", "TRAIN_r5.json")
 
 
 def _load():
@@ -31,17 +33,19 @@ def _load():
 
 @pytest.mark.skipif(not os.path.exists(_ART), reason="no training artifact")
 def test_training_artifact_meets_acceptance():
-    """r4 acceptance: walking-height gait (the r3 crouch pin), ≥0.70 of
-    command, (near-)zero falls, and a correctly-ORDERED reward landscape:
-    the reference checkpoint replayed through the identical env must earn a
-    comparable step reward while tracking near-fully — proving the engine's
-    objective now prices real walking as optimal (in r3 the landscape
-    preferred the crouch; the r4 contact calibration fixed that)."""
+    """r5 acceptance (VERDICT r4 #1 ratchet, 0.70 → 0.85): reference-band
+    walking height, ≥0.85 of command, ZERO falls, and a correctly-ORDERED
+    reward landscape: the reference checkpoint replayed through the
+    identical env must earn a comparable step reward while tracking
+    near-fully — proving the engine's objective prices real walking as
+    optimal (in r3 the landscape preferred a crouch; the r4 contact
+    calibration fixed that, and the r5 policy now beats the reference's own
+    step reward at equal tracking)."""
     art = _load()
-    assert art["achieved_over_command"] >= 0.70, art
-    assert 0.45 <= art["base_height_mean"] <= 0.55, art  # walking, not crouching
+    assert art["achieved_over_command"] >= 0.85, art
+    assert 0.48 <= art["base_height_mean"] <= 0.53, art  # reference walking band
     assert art["upright_mean"] < -0.95, art
-    assert art["falls"] <= 0.1 * art["n_envs"], art
+    assert art["falls"] == 0.0, art
     rc = art["reference_comparison"]
     # landscape sanity: the PhysX-trained walk is near-optimal here too —
     # our PPO optimum earns within 10% of it, and it tracks ≥0.9 of command
