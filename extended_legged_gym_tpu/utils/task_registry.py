@@ -78,9 +78,16 @@ def get_load_path(root: str, load_run=-1, checkpoint=-1) -> str:
         raise ValueError(f"No runs in {root}")
     run = runs[-1] if load_run == -1 else (load_run if isinstance(load_run, str) else runs[load_run])
     run_dir = os.path.join(root, run)
+    # sort numerically by iteration (model_final last), NOT by mtime: a git
+    # checkout rewrites mtimes in directory-listing order, which silently
+    # made --resume pick model_950 over model_1000 on a fresh clone
+    def _iter_key(f: str):
+        stem = f[len("model_"):-len(".pkl")]
+        return (1, 0) if stem == "final" else (0, int(stem)) if stem.isdigit() else (-1, 0)
+
     models = sorted((f for f in os.listdir(run_dir)
                      if f.startswith("model") and f.endswith(".pkl")),
-                    key=lambda f: os.path.getmtime(os.path.join(run_dir, f)))
+                    key=_iter_key)
     if not models:
         raise ValueError(f"No checkpoints in {run_dir}")
     model = models[-1] if checkpoint == -1 else f"model_{checkpoint}.pkl"
