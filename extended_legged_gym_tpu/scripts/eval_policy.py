@@ -43,7 +43,11 @@ def main():
     env_cfg.domain_rand.randomize_friction = False
     env_cfg.domain_rand.randomize_base_mass = False
     env_cfg.domain_rand.push_robots = False
-    env_cfg.terrain.curriculum = False
+    # keep the TRAINING terrain grid but pin the fleet to its spawn rows:
+    # curriculum=False would regenerate the grid in randomized mode
+    # (difficulty 0.5-0.9 regardless of row) and make --max-init-level
+    # meaningless (the r4 falls-at-easy-levels inversion, VERDICT r4 weak #5)
+    env_cfg.terrain.freeze_terrain_levels = True
     if args.max_init_level is not None:
         env_cfg.terrain.max_init_terrain_level = args.max_init_level
     env_cfg.commands.resampling_time = 1e9

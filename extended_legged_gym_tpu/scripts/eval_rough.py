@@ -5,9 +5,11 @@ scripts/eval_policy.py, PLUS a falls-by-terrain-type/level breakdown — the
 diagnostic VERDICT r4 weak #5 asked for (the r4 artifact showed MORE falls
 at easy spawn levels than at full difficulty with nothing attributing them).
 
-Terrain columns follow terrain_proportions
-[smooth slope, rough slope, stairs up, stairs down, discrete]
-(reference terrain.py curriculum layout).
+Terrain columns are mapped to type names through the SAME choice->branch
+logic the curriculum generator uses (terrain/generator.py:_make with
+choice = col/num_cols + 0.001), so the attribution names the geometry the
+robot actually stood on.  (The first r5 cut indexed a 5-name list modulo
+the column index, which mislabeled columns 5-7.)
 
 Usage:
   python -m extended_legged_gym_tpu.scripts.eval_rough \
@@ -23,8 +25,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TYPE_NAMES = ["smooth_slope", "rough_slope", "stairs_up", "stairs_down",
-              "discrete"]
+def col_type_names(num_cols: int, proportions) -> list:
+    """Column index -> terrain-type name, mirroring generator._make."""
+    p = np.cumsum(proportions).tolist()
+    names = []
+    for j in range(num_cols):
+        c = j / num_cols + 0.001
+        if c < p[0]:
+            names.append("smooth_slope_down" if c < p[0] / 2 else "smooth_slope_up")
+        elif c < p[1]:
+            names.append("rough_slope")
+        elif c < p[3]:
+            names.append("stairs_down" if c < p[2] else "stairs_up")
+        elif len(p) > 4 and c < p[4]:
+            names.append("discrete")
+        elif len(p) > 5 and c < p[5]:
+            names.append("stepping_stones")
+        elif len(p) > 6 and c < p[6]:
+            names.append("gap")
+        else:
+            names.append("pit")
+    return names
 
 
 def run_eval(task, ckpt, envs, steps, warmup, cmd_mps, max_init_level=None,
@@ -39,7 +60,10 @@ def run_eval(task, ckpt, envs, steps, warmup, cmd_mps, max_init_level=None,
     env_cfg.domain_rand.randomize_friction = False
     env_cfg.domain_rand.randomize_base_mass = False
     env_cfg.domain_rand.push_robots = False
-    env_cfg.terrain.curriculum = False
+    # keep the TRAINING curriculum grid; only pin the fleet to its spawn
+    # rows (curriculum=False would regenerate randomized-mode terrain with
+    # difficulty 0.5-0.9 everywhere — the r4 inversion's root cause)
+    env_cfg.terrain.freeze_terrain_levels = True
     if max_init_level is not None:
         env_cfg.terrain.max_init_terrain_level = max_init_level
     env_cfg.commands.resampling_time = 1e9
@@ -67,17 +91,21 @@ def run_eval(task, ckpt, envs, steps, warmup, cmd_mps, max_init_level=None,
     g = lambda k: np.asarray(jax.device_get(o[k]))
     vx, up, fell, lvl, typ = g("vx"), g("up"), g("fell"), g("lvl"), g("typ")
 
+    names = col_type_names(env_cfg.terrain.num_cols,
+                           env_cfg.terrain.terrain_proportions)
     by_type: dict = {}
     by_level: dict = {}
     t_idx, e_idx = np.nonzero(fell)
     for t, e in zip(t_idx, e_idx):
-        tn = TYPE_NAMES[int(typ[t, e]) % len(TYPE_NAMES)]
+        tn = names[int(typ[t, e]) % len(names)]
         by_type[tn] = by_type.get(tn, 0) + 1
         lv = int(lvl[t, e])
         by_level[lv] = by_level.get(lv, 0) + 1
     # spawn composition (per-env terrain assignment at eval start)
-    comp = {TYPE_NAMES[int(t) % len(TYPE_NAMES)]: int(n)
-            for t, n in zip(*np.unique(typ[0], return_counts=True))}
+    comp: dict = {}
+    for t, n in zip(*np.unique(typ[0], return_counts=True)):
+        tn = names[int(t) % len(names)]
+        comp[tn] = comp.get(tn, 0) + int(n)
     return {
         "achieved_over_command": round(float(vx.mean()) / cmd_mps, 4),
         "upright_mean": round(float(up.mean()), 4),
