@@ -41,6 +41,11 @@ def build_env(num_envs: int, max_init_level=None):
 
     cfg, train_cfg = task_registry.get_cfgs("anymal_c_rough_raycast")
     cfg.env.num_envs = num_envs
+    # the estimator consumes depth + proprio (the policy consumes rays);
+    # same camera setup as the supervised evidence artifact
+    cfg.depth.camera_type = "Warp"
+    cfg.depth.original = [48, 24]
+    cfg.depth.resized = [32, 16]
     cfg.noise.add_noise = False
     cfg.domain_rand.push_robots = False
     cfg.domain_rand.randomize_friction = False
@@ -116,20 +121,27 @@ def main():
                 lambda h: jnp.where(s2.reset_buf[:, None], jnp.zeros_like(h), h),
                 carry)
             err = pred - gt
+            # near-field split: rays whose TRUE hit is within 3 m are the
+            # ones the depth camera can actually observe (and the ones the
+            # normalized inverse-distance obs transform weights most); far
+            # cone rays carry an irreducible observability floor
+            near_m = gt < 3.0
+            near_mse = (jnp.square(err) * near_m).sum() / jnp.maximum(near_m.sum(), 1)
             return (s2, carry), (s2.base_lin_vel[:, 0], s2.reset_buf,
                                  jnp.mean(jnp.square(err)),
-                                 jnp.mean(jnp.abs(err)))
+                                 jnp.mean(jnp.abs(err)), near_mse)
 
         roll = jax.jit(lambda c, n: jax.lax.scan(body, c, None, length=n),
                        static_argnums=1)
         (s, carry), _ = roll((s, carry0), args.warmup)
-        (s, carry), (vx, rst, mse, mae) = roll((s, carry), args.steps)
+        (s, carry), (vx, rst, mse, mae, nmse) = roll((s, carry), args.steps)
         g = lambda x: np.asarray(jax.device_get(x))
         return (float(g(vx).mean()), float(g(rst).sum()),
-                float(np.sqrt(g(mse).mean())), float(g(mae).mean()))
+                float(np.sqrt(g(mse).mean())), float(g(mae).mean()),
+                float(np.sqrt(g(nmse).mean())))
 
-    vx_t, falls_t, rmse, mae = rollout(swap=False)
-    vx_e, falls_e, rmse2, mae2 = rollout(swap=True)
+    vx_t, falls_t, rmse, mae, near_rmse = rollout(swap=False)
+    vx_e, falls_e, rmse2, mae2, near_rmse2 = rollout(swap=True)
 
     out = {
         "artifact": "terrain estimator CLOSED LOOP (anymal_c_rough_raycast: "
@@ -141,6 +153,7 @@ def main():
         "max_init_terrain_level": args.max_init_level,
         "prediction_rmse_m": round(rmse, 4),
         "prediction_mae_m": round(mae, 4),
+        "prediction_rmse_m_near3m": round(near_rmse, 4),
         "tracking_true_rays": round(vx_t / args.cmd, 4),
         "tracking_estimated_rays": round(vx_e / args.cmd, 4),
         "tracking_delta": round((vx_e - vx_t) / args.cmd, 4),

@@ -32,3 +32,28 @@ def test_terrain_estimator_artifact():
     with open(_ESTIM) as f:
         d = json.load(f)
     assert d["loss_final"] < 0.1 * d["loss_first"], d
+
+
+_ESTIM_CL = os.path.join(os.path.dirname(__file__), "..", "ESTIMATOR_CL_r5.json")
+
+
+@pytest.mark.skipif(not os.path.exists(_ESTIM_CL), reason="no artifact")
+def test_terrain_estimator_closed_loop_artifact():
+    """VERDICT r4 #8: the estimator must be usable IN THE LOOP, not just
+    converge a loss.  The committed artifact replaces the perceptive
+    policy's raycast obs channels with estimator predictions (depth+proprio
+    input, deployment distribution) and the policy keeps walking: tracking
+    delta within ±5% of the true-ray rollout and no fall blow-up
+    (r5 actuals: RMSE 1.23 m over 10 m cone rays, delta +0.022,
+    falls 12 vs 9 per 128 envs x 400 steps)."""
+    with open(_ESTIM_CL) as f:
+        d = json.load(f)
+    assert d["prediction_rmse_m"] <= 2.0, d
+    assert abs(d["tracking_delta"]) <= 0.05, d
+    assert d["tracking_estimated_rays"] >= 0.85, d
+    # falls on estimated rays may exceed truth by at most 5% of the fleet
+    assert (d["falls_estimated_rays"] - d["falls_true_rays"]
+            <= 0.05 * d["n_envs"]), d
+    for rel in (d["policy"], d["estimator"]):
+        p = os.path.join(os.path.dirname(_ESTIM_CL), rel)
+        assert os.path.exists(p), f"artifact dependency missing: {p}"
