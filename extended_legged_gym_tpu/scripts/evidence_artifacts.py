@@ -51,16 +51,36 @@ def distill(args):
     cfg.env.num_envs = args.envs
     cfg.noise.add_noise = False
     env = LeggedRobot(cfg)
-    _, _, teacher = load_reference_policy(
-        REF_CKPT, 48, 12, our_joint_names=env.model.joint_names)
-    # cosine lr decay over the run (1e-3 → 1e-5): the fixed-lr r4 run's
-    # behavior loss plateaued at 0.013 (action RMSE ~0.11/dim — enough to
-    # fall every ~11 s); optax.adam accepts a schedule directly
+    if getattr(args, "teacher_ckpt", None):
+        # engine-native teacher (a trained .pkl policy): its labels are
+        # in-distribution for THIS engine everywhere the DAgger student
+        # wanders, unlike the PhysX-trained reference teacher whose
+        # off-manifold actions need not stabilize this engine's dynamics
+        from extended_legged_gym_tpu.rl.runner import OnPolicyRunner
+        from extended_legged_gym_tpu.robots.anymal_c import anymal_c_ppo_cfg
+
+        _r = OnPolicyRunner(env, anymal_c_ppo_cfg())
+        _r.load(args.teacher_ckpt)
+        teacher = _r.get_inference_policy()
+        teacher_name = args.teacher_ckpt
+    else:
+        _, _, teacher = load_reference_policy(
+            REF_CKPT, 48, 12, our_joint_names=env.model.joint_names)
+        teacher_name = REF_CKPT
+    # r5 recipe (A/B on chip): the r4 600-iter fixed-lr run plateaued at
+    # loss 0.013 with a (128, 64, 32) student (action RMSE ~0.11/dim -
+    # falls every ~11 s); a 1500-iter cosine-to-1e-5 variant froze at
+    # 0.0156 from ~it 500 and was WORSE behaviorally (770 falls/256 envs).
+    # Capacity is the binding constraint, not the schedule: use the
+    # reference Distillation default (256, 256, 128) student
+    # (student_teacher.py) + a cosine floor at 1e-4 so BC keeps adapting
+    # to its own DAgger distribution all run.
     import optax
 
     lr = optax.cosine_decay_schedule(1e-3, decay_steps=max(1, args.iters * 2),
-                                     alpha=0.01)
-    runner = DistillationRunner(env, teacher, student_hidden_dims=(128, 64, 32),
+                                     alpha=0.1)
+    runner = DistillationRunner(env, teacher,
+                                student_hidden_dims=(256, 256, 128),
                                 num_steps_per_env=24, num_learning_epochs=2,
                                 learning_rate=lr)
     curve = _chunked_curve(runner.learn, args.iters, max(1, args.iters // 20),
@@ -94,7 +114,8 @@ def distill(args):
     vx = np.asarray(jax.device_get(vx))
     falls = float(np.asarray(jax.device_get(rst)).sum())
     out = {
-        "artifact": "distillation (reference plane_walk_200.pt teacher -> MLP student)",
+        "artifact": f"distillation ({teacher_name} teacher -> MLP student)",
+        "teacher": teacher_name,
         "iterations": args.iters,
         "num_envs": args.envs,
         "behavior_loss_first": curve[0][1]["behavior_loss"],
@@ -155,6 +176,9 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--envs", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--teacher-ckpt", default=None,
+                    help="engine-native teacher .pkl (default: the "
+                         "reference plane_walk_200.pt through the DOF bridge)")
     args = ap.parse_args()
     if args.which == "distill":
         args.envs = args.envs or 256
