@@ -87,6 +87,7 @@ def _anymal_c_percept_cfg():
               "trajectory_opt", "raycaster"):
         setattr(cfg, f, getattr(src, f))
     cfg.raycaster.enable_raycast = True
+    cfg.raycaster.attach_to_obs = True   # rays ARE the policy obs here
     cfg.raycaster.ray_pattern = "spherical"
     cfg.raycaster.spherical_num_azimuth = 16
     cfg.raycaster.spherical_num_elevation = 8

@@ -259,6 +259,7 @@ def elspider_air_rough_raycast_cfg() -> RobotPerceptCfg:
     src = elspider_air.elspider_air_rough_cfg()
     cfg = _copy_sections(RobotPerceptCfg(), src)
     cfg.raycaster.enable_raycast = True
+    cfg.raycaster.attach_to_obs = True   # rays ARE the policy obs here
     cfg.raycaster.ray_pattern = "spherical"
     cfg.raycaster.spherical_num_azimuth = 16
     cfg.raycaster.spherical_num_elevation = 8

@@ -79,6 +79,7 @@ def main():
     half = N_CYCLES // 2
     print(json.dumps({
         "task": "anymal_c_traj_grad_sampling",
+        "warmstart_checkpoint": args.ckpt,
         "command_mps": CMD,
         "achieved_over_command": round(float(vx[half:].mean()) / CMD, 4),
         "per_env": [round(float(v) / CMD, 3) for v in vx[half:].mean(0)],

@@ -1,8 +1,9 @@
 """Flagship-gait regression (VERDICT r1 weak #1): the sampling MPC on
 anymal_c_traj_grad_sampling must actually track commanded velocity, not just
-run.  Full acceptance lives in scripts/eval_mpc_gait.py (GAIT_r04.json:
-92.9% of 0.7 m/s over 300 cycles on TPU, fd polish, 5 resets/2400
-env-cycles); this shortened version
+run.  Full acceptance lives in scripts/eval_mpc_gait.py (GAIT_r05.json:
+94.1% of 0.7 m/s over 300 cycles on TPU, fd polish + engine-native
+warm-start + near-fall plan refresh, 3 resets/2400 env-cycles); this
+shortened version
 pins a floor tied to the committed artifact so quality can't silently erode,
 and a config-identity test guarantees the artifact, the bench, and the
 committed default are ONE config."""
@@ -14,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-_GAIT_ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "GAIT_r04.json")
+_GAIT_ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "GAIT_r05.json")
 
 
 def _load_artifact():
@@ -36,11 +37,13 @@ def test_gait_artifact_matches_committed_config():
         "GAIT artifact was produced by a different trajectory_opt than the "
         "committed default — re-run scripts/eval_mpc_gait.py")
     # and the artifact itself passes both quality bars
-    assert art["achieved_over_command"] >= 0.90
-    # resets bounded: ≤1% of cycles across the whole fleet (r4: 5/2400
-    # measured — the contact calibration + permuted warm-start dropped the
-    # r3 rate of 12/2400; VERDICT r3 #7 bound tightened 5% → 1%)
-    assert art["resets"] <= 0.01 * art["n_cycles"] * art["n_envs"]
+    assert art["achieved_over_command"] >= 0.92
+    # resets bounded: ≤0.25% of env-cycles (r5: 3/2400 measured with the
+    # engine-native TRAIN_r5 warm-start — refresh on/off A/B identical, so
+    # the residual is MPC sampling variance, not stale-plan recovery;
+    # r4: 5/2400 with the reference .pt warm-start; r3: 12/2400.
+    # VERDICT r4 #6 bound tightened 1% → 0.25%)
+    assert art["resets"] <= 0.0025 * art["n_cycles"] * art["n_envs"]
 
 
 @pytest.mark.slow
